@@ -1,0 +1,264 @@
+"""Declarative configuration for the TPU-native bird-SED framework.
+
+One frozen dataclass tree + a preset registry replaces the reference's three
+near-identical module-constant config files (``src/data/config.py``,
+``config_baseline.py``, ``config_baseline_ena.py``) and its 12-script
+experiment matrix (``src/main_*.py``): every experiment in the reference is a
+named preset here, selected by flags instead of by editing import lines.
+
+Hyperparameter provenance (reference file:line):
+  - audio front end:   /root/reference/src/data/config.py:47-57
+  - median windows:    /root/reference/src/data/config.py:60-63
+  - train schedule:    /root/reference/src/data/config.py:83-100
+  - bird list:         /root/reference/src/data/config.py:103-109
+  - crnn kwargs:       /root/reference/src/main_baseline.py:663-669
+  - predictor kwargs:  /root/reference/src/main_baseline.py:673
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+BIRD_LIST: Tuple[str, ...] = (
+    "EATO", "WOTH", "BCCH", "BTNW", "TUTI",
+    "NOCA", "REVI", "AMCR", "BLJA", "OVEN",
+    "COYE", "BGGN", "SCTA", "AMRE", "KEWA",
+    "BHCO", "BHVI", "HETH", "RBWO", "BAWW",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """STFT→mel front-end parameters (config.py:47-57)."""
+    sr: int = 32000
+    n_window: int = 2048
+    hop_size: int = 255
+    n_mels: int = 128
+    mel_f_min: float = 0.0
+    mel_f_max: float = 16000.0
+    max_len_seconds: float = 10.0
+    noise_snr: float = 30.0
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.max_len_seconds * self.sr)
+
+    @property
+    def max_frames(self) -> int:
+        # ceil(10 * 32000 / 255) = 1255
+        return math.ceil(self.max_len_seconds * self.sr / self.hop_size)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """CRNN topology (main_baseline.py:663-673)."""
+    n_in_channel: int = 1
+    nclass: int = 20
+    activation: str = "glu"           # relu | leakyrelu | glu | cg
+    dropout: float = 0.5
+    nb_filters: Tuple[int, ...] = (16, 32, 64, 128, 128, 128, 128)
+    pooling: Tuple[Tuple[int, int], ...] = (
+        (2, 2), (2, 2), (1, 2), (1, 2), (1, 2), (1, 2), (1, 2))
+    kernel_size: int = 3
+    n_rnn_cell: int = 128
+    n_layers_rnn: int = 2
+    dropout_recurrent: float = 0.0
+    attention: bool = True
+    use_fpn: bool = False
+
+    @property
+    def pooling_time_ratio(self) -> int:
+        r = 1
+        for p in self.pooling:
+            r *= p[0]
+        return r
+
+
+@dataclasses.dataclass(frozen=True)
+class DAConfig:
+    """Domain-adaptation settings (src/DA/, main_* adaptation stages)."""
+    mode: str = "none"                # none | dann | cdan | cdan_frame | adda
+    level: str = "frame"              # clip | frame
+    entropy_conditioning: bool = False
+    randomized_dim: int = 8192        # config.py:89 (cdan random projection)
+    adv_weight: float = 1.0           # main_baseline.py:306 (scmt uses 2.5/5)
+    update_step: int = 1
+    grl_alpha: float = 1.0            # DA/grl.py:33-74 warm-start schedule
+    grl_lo: float = 0.0
+    grl_hi: float = 1.0
+    grl_max_iters: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / semi-supervised schedule (config.py:83-100,
+    main_baseline.py:53-105,168-598)."""
+    batch_size: int = 12              # SYN stream; real weak/unlabeled get bs/2 each
+    n_epoch: int = 300
+    n_epoch_rampup: int = 50
+    n_epoch_rampdown: int = 80
+    rampdown_epochs: int = 30         # sigmoid_rampdown(c_epoch, 30), main_baseline.py:285
+    max_learning_rate: float = 5e-4
+    adjust_lr: bool = False
+    optimizer: str = "adam"           # adam | sgd(momentum .9 nesterov wd 1e-4)
+    sgd_momentum: float = 0.9
+    sgd_weight_decay: float = 1e-4
+    max_consistency_cost: float = 1.0
+    ema_alpha: float = 0.999
+    mean_teacher: bool = False
+    isp: bool = False                 # shift-consistency training (SCT)
+    mixup: bool = False               # ICT mixup (main.py lineage)
+    mixup_alpha: float = 1.0
+    pseudo_labels: bool = False       # consume weak PL TSV for unlabeled stream
+    stage: str = "pretrain"           # pretrain | adaptation
+    seed: int = 2023
+    dataset_seed: int = 1215          # preprocess.py:236 split seed
+    checkpoint_epochs: int = 1
+    early_stopping: Optional[int] = None
+    es_init_wait: int = 50
+    time_shift_max: int = 64          # ISP: randint(-64,64) * ptr frames
+    freq_shift_max: int = 4           # ISP: randint(-4,4) mel bins
+    supervise_on: str = "syn"         # syn | real  (main_baseline vs main_baseline_ena)
+    best_metric: str = "event_f1"     # event_f1 | weak_f1 (pseudo_labeling_main.py:990)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Filesystem layout of feature dumps; mirrors config.py:6-42 but rooted
+    at a configurable directory."""
+    dataset_root: str = "dataset/ENA"
+    synth_root: str = "dataset/SYN"
+    feature_subdir: str = "preprocess_02_015"
+    train_weak_subdir: str = "train_weak_preprocess_quarter_02_015"
+    train_unlabeled_subdir: str = "train_unlabeled_preprocess_quarter_02_015"
+    val_subdir: str = "val_preprocess_quarter_02_015"
+    synth_feature_subdir: str = "preprocess"
+    pseudo_label_tsv: str = "unlabel_in_domain_pseudo_weak_resNet.tsv"
+    # ENA annotation cleanup (preprocess.py:123-150,186-193)
+    merge_gap_s: float = 0.15
+    min_event_dur_s: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    da: DAConfig = dataclasses.field(default_factory=DAConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    bird_list: Tuple[str, ...] = BIRD_LIST
+    model_name: str = "bsed_tpu"
+    median_window_s: float = 0.45
+    # class-wise median windows (config.py:62); reference list has 10 entries
+    # for 20 classes — cycled to cover all classes, matching its zip semantics.
+    median_window_s_classwise: Tuple[float, ...] = (
+        0.45, 0.45, 0.45, 0.45, 0.45, 2.7, 2.7, 2.7, 0.45, 2.7)
+
+    @property
+    def nclass(self) -> int:
+        return len(self.bird_list)
+
+    @property
+    def n_frames(self) -> int:
+        """Post-CNN frame count: 1255 // 4 = 313."""
+        return self.audio.max_frames // self.model.pooling_time_ratio
+
+    @property
+    def out_nb_frames_1s(self) -> float:
+        return self.audio.sr / self.audio.hop_size / self.model.pooling_time_ratio
+
+    @property
+    def median_window(self) -> int:
+        """Fixed median window: max(int(0.45 * 31.37), 1) = 14."""
+        return max(int(self.median_window_s * self.out_nb_frames_1s), 1)
+
+    @property
+    def median_window_classwise(self) -> Tuple[int, ...]:
+        wins = [max(int(s * self.out_nb_frames_1s), 1)
+                for s in self.median_window_s_classwise]
+        # cycle to nclass entries
+        return tuple(wins[i % len(wins)] for i in range(self.nclass))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(model_name: str, *, model=None, train=None, da=None, **kw) -> Config:
+    c = Config(model_name=model_name, **kw)
+    if model:
+        c = dataclasses.replace(c, model=dataclasses.replace(c.model, **model))
+    if train:
+        c = dataclasses.replace(c, train=dataclasses.replace(c.train, **train))
+    if da:
+        c = dataclasses.replace(c, da=dataclasses.replace(c.da, **da))
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Preset registry — one entry per reference training script (SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+PRESETS = {
+    # main_baseline.py: supervised-on-SYN core; -mt/-ISP/-fpn add MT/SCT/FPN;
+    # adaptation stage adds frame-CDAN discriminator pre-step.
+    "baseline": _cfg("baseline"),
+    "baseline_mt": _cfg("baseline_mt",
+                        train={"mean_teacher": True, "pseudo_labels": True}),
+    "baseline_mt_isp": _cfg("baseline_mt_isp",
+                            train={"mean_teacher": True, "isp": True,
+                                   "pseudo_labels": True}),
+    "baseline_fpn_mt_isp": _cfg("baseline_fpn_mt_isp",
+                                model={"use_fpn": True},
+                                train={"mean_teacher": True, "isp": True,
+                                       "pseudo_labels": True}),
+    "baseline_adaptation": _cfg("baseline_adaptation",
+                                train={"stage": "adaptation",
+                                       "mean_teacher": True, "isp": True,
+                                       "pseudo_labels": True},
+                                da={"mode": "cdan_frame", "level": "frame",
+                                    "randomized_dim": 3130}),
+    # main_baseline_ena.py: fully-supervised-on-ENA upper bound.
+    "baseline_ena": _cfg("baseline_ena", train={"supervise_on": "real"}),
+    # main_scmt.py: MT + SCT with ADDA-style alternating update, adv_w=2.5.
+    "scmt": _cfg("scmt",
+                 train={"mean_teacher": True, "isp": True},
+                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
+    # main.py / main_origin.py: oldest lineage with ICT mixup.
+    "origin": _cfg("origin",
+                   train={"mean_teacher": True, "isp": True, "mixup": True},
+                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
+    # main_scmt_ada.py: MT + DANN on clip features.
+    "scmt_ada": _cfg("scmt_ada",
+                     train={"mean_teacher": True},
+                     da={"mode": "dann", "level": "clip"}),
+    # main_scmt_ada_weak.py: MT + clip-CDAN + weak PL, SGD, joint backward.
+    "scmt_ada_weak": _cfg("scmt_ada_weak",
+                          train={"mean_teacher": True, "pseudo_labels": True,
+                                 "optimizer": "sgd"},
+                          da={"mode": "cdan", "level": "clip",
+                              "randomized_dim": 8192}),
+    # main_sct_ada_weak.py: SCT-only (no MT) + DANN, SGD.
+    "sct_ada_weak": _cfg("sct_ada_weak",
+                         train={"isp": True, "pseudo_labels": True,
+                                "optimizer": "sgd"},
+                         da={"mode": "dann"}),
+    # main_scmt_ada_weak_seperate.py: stage-2 resume with discriminator re-init.
+    "scmt_ada_weak_separate": _cfg("scmt_ada_weak_separate",
+                                   train={"mean_teacher": True,
+                                          "pseudo_labels": True,
+                                          "optimizer": "sgd",
+                                          "stage": "adaptation"},
+                                   da={"mode": "cdan", "level": "clip"}),
+    # pseudo_labeling_main.py: CDAN with entropy conditioning; best on weak F1.
+    "pseudo_labeling": _cfg("pseudo_labeling",
+                            train={"mean_teacher": True, "pseudo_labels": True,
+                                   "best_metric": "weak_f1"},
+                            da={"mode": "cdan", "entropy_conditioning": True}),
+}
+
+
+def get_config(preset: str = "baseline", **overrides) -> Config:
+    cfg = PRESETS[preset]
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
