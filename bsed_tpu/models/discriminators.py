@@ -1,0 +1,98 @@
+"""Domain discriminators for adversarial adaptation.
+
+References:
+  * Frame_Discriminator (GRL flavor, 2-way sigmoid MLP with built-in
+    gradient reversal):      /root/reference/src/models/CRNN.py:91-112
+  * Frame_Discriminator (plain 1-way sigmoid MLP, LeakyReLU):
+                             /root/reference/src/models/CRNN_GRL.py:116-140
+  * Clip_Discriminator (softmax 2-way): /root/reference/src/models/CRNN.py:16-51
+  * Clip_Discriminator (sigmoid 1-way): /root/reference/src/models/CRNN_GRL.py:16-53
+
+The clip discriminators treat the (B, 313, 256) encoding as a 1-channel
+image (B, 256, 313, 1 in torch NCHW; here NHWC (B, 256, 313, 1)→conv stack)
+with five stride-2 valid convs + BN + LeakyReLU(0.2), adaptive-avg-pooled to
+(2, 1) and flattened to 16 features.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bsed_tpu.models.init import bn_scale_init, normal_init
+from bsed_tpu.ops.grl import grad_reverse
+
+
+class FrameDiscriminatorGRL(nn.Module):
+    """input_dim → 1024 → 1024 → 2, ReLU+dropout, sigmoid output, gradient
+    reversed at the input (CRNN.py:91-112)."""
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, grl_coeff: float = 1.0):
+        x = grad_reverse(x, grl_coeff)
+        x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
+                             name="dense_d_1")(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
+                             name="dense_d_2")(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.sigmoid(nn.Dense(2, kernel_init=normal_init(0.01),
+                                   name="dense_d_3")(x))
+
+
+class FrameDiscriminator(nn.Module):
+    """256 → 128 → 32 → 1 sigmoid, LeakyReLU(0.2) (CRNN_GRL.py:116-140).
+    No gradient reversal — used with explicit alternating updates."""
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.leaky_relu(nn.Dense(128, kernel_init=normal_init(0.01),
+                                   name="dense_d_1")(x), 0.2)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.leaky_relu(nn.Dense(32, kernel_init=normal_init(0.01),
+                                   name="dense_d_2")(x), 0.2)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.sigmoid(nn.Dense(1, kernel_init=normal_init(0.01),
+                                   name="dense_d_3")(x))
+
+
+class _ClipConvStack(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, T, C_feat) → treat features as image rows: (B, C_feat, T, 1)
+        x = jnp.swapaxes(x, 1, 2)[..., None]
+        for i, feats in enumerate((128, 64, 32, 16, 8)):
+            x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="VALID",
+                        kernel_init=normal_init(0.01),
+                        name=f"conv_{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, scale_init=bn_scale_init,
+                             name=f"bn_{i + 1}")(x)
+            x = nn.leaky_relu(x, 0.2)
+        # adaptive avg-pool to (2, 1) over the spatial dims
+        b, h, w, c = x.shape
+        # split H into 2 halves (torch AdaptiveAvgPool2d((2,1)) semantics for
+        # even h; for odd h the reference's operating shapes are even)
+        x = x.reshape(b, 2, h // 2, w, c).mean(axis=(2, 3))   # (B, 2, C)
+        return x.reshape(b, 2 * c)                            # (B, 16)
+
+
+class ClipDiscriminatorSoftmax(nn.Module):
+    """Two-way softmax flavor (CRNN.py:16-51)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _ClipConvStack(name="convs")(x, train=train)
+        return nn.softmax(nn.Dense(2, kernel_init=normal_init(0.01),
+                                   name="dense_d")(h), axis=-1)
+
+
+class ClipDiscriminator(nn.Module):
+    """One-way sigmoid flavor (CRNN_GRL.py:16-53)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _ClipConvStack(name="convs")(x, train=train)
+        return nn.sigmoid(nn.Dense(1, kernel_init=normal_init(0.01),
+                                   name="dense_d")(h))

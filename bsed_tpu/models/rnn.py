@@ -1,0 +1,86 @@
+"""Bidirectional multi-layer GRU with torch-exact gate semantics.
+
+Reference: /root/reference/src/models/RNN.py:7-16 (``nn.GRU(n_in, n_hidden,
+bidirectional=True, batch_first=True, num_layers=2)``).
+
+TPU-first design: the input projection for the whole sequence is hoisted out
+of the recurrence into ONE large matmul per layer/direction — (B·T, D) @
+(D, 3H) on the MXU — so the ``lax.scan`` carries only the (B, H) @ (H, 3H)
+recurrent matmul. Gate order and the reset-gate placement match cuDNN/torch:
+
+    r = σ(xr + hr),  z = σ(xz + hz),  n = tanh(xn + r ⊙ hn),
+    h' = (1 − z) ⊙ n + z ⊙ h
+
+(with hn including the recurrent bias inside the reset gate, torch's
+linear-before-reset formulation) so reference checkpoints load losslessly.
+Parameter names mirror torch (weight_ih_l0, weight_hh_l0_reverse, ...).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bsed_tpu.models.init import uniform_sqrt_h
+
+
+def _gru_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+              reverse: bool = False, unroll: int = 8) -> jnp.ndarray:
+    """Run the GRU recurrence over precomputed input projections.
+
+    xp: (B, T, 3H) = x @ W_ih^T + b_ih, gate order (r, z, n).
+    w_hh: (3H, H); b_hh: (3H,). Returns (B, T, H).
+    """
+    h_dim = w_hh.shape[1]
+    batch = xp.shape[0]
+    w_hh_t = w_hh.T  # (H, 3H)
+
+    def step(h, x_t):
+        hp = h @ w_hh_t + b_hh                       # (B, 3H)
+        xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = nn.sigmoid(xr + hr)
+        z = nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((batch, h_dim), dtype=xp.dtype)
+    xs = jnp.swapaxes(xp, 0, 1)                      # (T, B, 3H)
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=unroll)
+    return jnp.swapaxes(ys, 0, 1)                    # (B, T, H)
+
+
+class BidirectionalGRU(nn.Module):
+    """(B, T, n_in) → (B, T, 2*n_hidden); inter-layer dropout as torch
+    (applied to every layer output except the last)."""
+    n_hidden: int
+    num_layers: int = 2
+    dropout: float = 0.0
+    unroll: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self.n_hidden
+        orth = jax.nn.initializers.orthogonal()
+        bias_init = uniform_sqrt_h(h)
+        out = x
+        for layer in range(self.num_layers):
+            in_dim = out.shape[-1]
+            directions = []
+            for suffix, reverse in (("", False), ("_reverse", True)):
+                name = f"l{layer}{suffix}"
+                w_ih = self.param(f"weight_ih_{name}", orth, (3 * h, in_dim))
+                w_hh = self.param(f"weight_hh_{name}", orth, (3 * h, h))
+                b_ih = self.param(f"bias_ih_{name}", bias_init, (3 * h,))
+                b_hh = self.param(f"bias_hh_{name}", bias_init, (3 * h,))
+                # one MXU matmul for the whole sequence's input projection
+                xp = jnp.einsum("btd,gd->btg", out, w_ih,
+                                preferred_element_type=jnp.float32) + b_ih
+                directions.append(
+                    _gru_scan(xp, w_hh, b_hh, reverse=reverse,
+                              unroll=self.unroll))
+            out = jnp.concatenate(directions, axis=-1)
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out

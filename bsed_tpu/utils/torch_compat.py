@@ -1,0 +1,143 @@
+"""Torch state-dict ↔ flax param-tree conversion.
+
+Loads reference checkpoints (torch pickles saved by
+/root/reference/src/main_baseline.py:895-971) into this framework's flax
+modules for the numerics-parity gate (frame posteriors ≤ 1e-3,
+/root/repo/BASELINE.md north-star), including the legacy ``cnn.`` →
+``cnn.cnn.`` key migration quirk handled by the reference's own loader
+(/root/reference/src/TestModel.py:48-52).
+
+Layout conventions:
+  * torch Conv2d weight (out, in, kh, kw) → flax (kh, kw, in, out)
+  * torch Linear weight (out, in)         → flax kernel (in, out)
+  * torch BatchNorm weight/bias/running_* → flax scale/bias + batch_stats
+  * torch GRU weight_ih_l{k}[_reverse] …  → identical names/shapes here
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def migrate_legacy_cnn_keys(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Old checkpoints store conv weights under ``cnn.conv0.…`` (one ``cnn.``
+    level missing); the reference re-prefixes them (TestModel.py:48-52).
+    Only applies when the checkpoint actually has the legacy layout (no
+    ``cnn.cnn.`` keys at all) so modern FPN keys like ``cnn.cnn_fcn.*`` are
+    left untouched."""
+    if any(k.startswith("cnn.cnn.") for k in state):
+        return dict(state)
+    out = {}
+    for k, v in state.items():
+        if k.startswith("cnn.") and not k.startswith("cnn.cnn."):
+            out["cnn." + k] = v
+        else:
+            out[k] = v
+    return out
+
+
+def _np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_conv(w, b=None):
+    p = {"kernel": _np(w).transpose(2, 3, 1, 0)}
+    if b is not None:
+        p["bias"] = _np(b)
+    return p
+
+
+def convert_dense(w, b=None):
+    p = {"kernel": _np(w).T}
+    if b is not None:
+        p["bias"] = _np(b)
+    return p
+
+
+def convert_bn(state: Mapping[str, np.ndarray], prefix: str):
+    params = {"scale": _np(state[prefix + "weight"]),
+              "bias": _np(state[prefix + "bias"])}
+    stats = {"mean": _np(state[prefix + "running_mean"]),
+             "var": _np(state[prefix + "running_var"])}
+    return params, stats
+
+
+def convert_gru(state: Mapping[str, np.ndarray], prefix: str,
+                num_layers: int) -> Dict[str, np.ndarray]:
+    """torch nn.GRU params → BidirectionalGRU params (same names)."""
+    out = {}
+    for layer in range(num_layers):
+        for suffix in ("", "_reverse"):
+            for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                k = f"{kind}_l{layer}{suffix}"
+                out[k] = _np(state[prefix + k])
+    return out
+
+
+def convert_cnn(state: Mapping[str, np.ndarray], prefix: str,
+                n_blocks: int, activation: str = "glu"
+                ) -> Tuple[Dict, Dict]:
+    """Reference CNN sequential (conv{i}/batchnorm{i}/glu{i}) → CNN params."""
+    params, stats = {}, {}
+    act = activation.lower()
+    for i in range(n_blocks):
+        block, block_stats = {}, {}
+        block["conv"] = convert_conv(state[f"{prefix}conv{i}.weight"],
+                                     state[f"{prefix}conv{i}.bias"])
+        bn_p, bn_s = convert_bn(state, f"{prefix}batchnorm{i}.")
+        block["bn"], block_stats["bn"] = bn_p, bn_s
+        if act in ("glu", "cg"):
+            block[act if act == "cg" else "GLU_0"] = {}
+            lin = convert_dense(state[f"{prefix}{act}{i}.linear.weight"],
+                                state[f"{prefix}{act}{i}.linear.bias"])
+            # activation module name inside ConvBlock is anonymous; flax
+            # auto-names compact submodules GLU_0 / ContextGating_0
+            key = "GLU_0" if act == "glu" else "ContextGating_0"
+            block[key] = {"linear": lin}
+        params[f"block{i}"] = block
+        stats[f"block{i}"] = block_stats
+    return params, stats
+
+
+def convert_crnn(state: Mapping[str, np.ndarray], n_blocks: int = 7,
+                 num_layers_rnn: int = 2, activation: str = "glu",
+                 fpn: bool = False) -> Tuple[Dict, Dict]:
+    """Full reference CRNN/CRNN_fpn state_dict → (params, batch_stats)."""
+    state = migrate_legacy_cnn_keys(state)
+    cnn_params, cnn_stats = convert_cnn(state, "cnn.cnn.", n_blocks, activation)
+    if fpn:
+        # shared pyramid block: cnn.cnn_fcn / cnn.bn_fcn / cnn.glu
+        block = {"conv": convert_conv(state["cnn.cnn_fcn.weight"],
+                                      state["cnn.cnn_fcn.bias"])}
+        bn_p, bn_s = convert_bn(state, "cnn.bn_fcn.")
+        block["bn"] = bn_p
+        block["GLU_0"] = {"linear": convert_dense(state["cnn.glu.linear.weight"],
+                                                  state["cnn.glu.linear.bias"])}
+        cnn_params["block_down"] = block
+        cnn_stats["block_down"] = {"bn": bn_s}
+
+    params = {"cnn": cnn_params,
+              "rnn": convert_gru(state, "rnn.rnn.", num_layers_rnn)}
+    stats = {"cnn": cnn_stats}
+    if fpn:
+        params["rnn_2"] = convert_gru(state, "rnn_2.rnn.", num_layers_rnn)
+        params["rnn_4"] = convert_gru(state, "rnn_4.rnn.", num_layers_rnn)
+        # conv1x1_2/conv1x1_4 (torch 1×1 convs) → fuse dense kernels
+        for tname, fname in (("conv1x1_2", "fuse_2"), ("conv1x1_4", "fuse_4")):
+            w = _np(state[f"{tname}.weight"])  # (out, in, 1, 1)
+            params[fname] = {"kernel": w[:, :, 0, 0].T,
+                             "bias": _np(state[f"{tname}.bias"])}
+    return params, stats
+
+
+def convert_predictor(state: Mapping[str, np.ndarray]) -> Dict:
+    params = {"dense": convert_dense(state["dense.weight"],
+                                     state["dense.bias"])}
+    if "dense_softmax.weight" in state:
+        params["dense_softmax"] = convert_dense(state["dense_softmax.weight"],
+                                                state["dense_softmax.bias"])
+    return params
