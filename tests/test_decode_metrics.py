@@ -1,0 +1,159 @@
+"""Decode path + metric tests: median filter vs scipy, event decoding
+round-trips, event/segment F1 behavior, PSDS counting."""
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.ndimage
+
+import jax.numpy as jnp
+
+from bsed_tpu.config import get_config
+from bsed_tpu.eval.decode import decode_batch, durations_df
+from bsed_tpu.eval.psds import compute_macro_f_score, compute_psds, \
+    evaluate_operating_point
+from bsed_tpu.eval.sed_scores import (event_based_counts, event_based_f1,
+                                      segment_based_f1)
+from bsed_tpu.eval.tagging import TaggingF1Accumulator
+from bsed_tpu.ops.median import binary_median_filter, classwise_median_filter
+
+
+@pytest.mark.parametrize("window", [2, 3, 7, 14, 15, 84])
+def test_binary_median_matches_scipy(window):
+    rng = np.random.default_rng(window)
+    x = (rng.random((2, 100, 4)) > 0.6).astype(np.float32)
+    ref = np.stack([
+        scipy.ndimage.median_filter(x[b], (window, 1)) for b in range(2)])
+    out = np.asarray(binary_median_filter(jnp.asarray(x), window, axis=-2))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_classwise_median_matches_scipy_per_column():
+    cfg = get_config()
+    windows = cfg.median_window_classwise[:6]
+    rng = np.random.default_rng(0)
+    x = (rng.random((3, 120, 6)) > 0.5).astype(np.float32)
+    out = np.asarray(classwise_median_filter(jnp.asarray(x), windows))
+    for c, w in enumerate(windows):
+        ref = np.stack([scipy.ndimage.median_filter(
+            x[b, :, c:c + 1], (w, 1))[:, 0] for b in range(3)])
+        np.testing.assert_array_equal(out[:, :, c], ref)
+
+
+def test_decode_batch_produces_expected_events():
+    cfg = get_config()
+    b, t, c = 2, 313, cfg.nclass
+    probs = np.zeros((b, t, c), dtype=np.float32)
+    # clip 0: strong 50-frame event for class 3
+    probs[0, 100:150, 3] = 0.9
+    # clip 1: single-frame blip for class 5 — killed by 14-frame median
+    probs[1, 200, 5] = 0.9
+    dfs = decode_batch(probs, ["clipA", "clipB"], cfg.bird_list, cfg,
+                       thresholds=[0.5])
+    df = dfs[0.5]
+    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
+    a_events = df[df.filename == "clipA"]
+    assert len(a_events) == 1
+    ev = a_events.iloc[0]
+    assert ev.event_label == cfg.bird_list[3]
+    assert np.isclose(ev.onset, 100 * sec, atol=sec)
+    assert np.isclose(ev.offset, 150 * sec, atol=sec)
+    assert len(df[df.filename == "clipB"]) == 0
+
+
+def test_event_f1_perfect_and_collar():
+    ref = pd.DataFrame({
+        "event_label": ["EATO", "WOTH"],
+        "onset": [1.0, 3.0], "offset": [2.0, 4.0],
+        "filename": ["f1", "f1"],
+    })
+    # perfect predictions
+    assert event_based_f1(ref, ref.copy()) == 1.0
+    # onset off by 0.15 (within 0.2 collar), offset within 20% of length
+    est = ref.copy()
+    est.loc[0, "onset"] = 1.15
+    assert event_based_f1(ref, est) == 1.0
+    # onset off by 0.5 → class EATO fails, WOTH still perfect → macro 0.5
+    est.loc[0, "onset"] = 1.5
+    assert np.isclose(event_based_f1(ref, est), 0.5)
+
+
+def test_event_f1_greedy_one_to_one():
+    ref = pd.DataFrame({
+        "event_label": ["EATO"], "onset": [1.0], "offset": [2.0],
+        "filename": ["f1"],
+    })
+    # two overlapping detections: only one may match
+    est = pd.DataFrame({
+        "event_label": ["EATO", "EATO"],
+        "onset": [1.0, 1.05], "offset": [2.0, 2.05],
+        "filename": ["f1", "f1"],
+    })
+    counts = event_based_counts(ref, est)["EATO"]
+    assert counts.tp == 1 and counts.n_sys == 2 and counts.n_ref == 1
+    # F1 = 2*1/(1+2)
+    assert np.isclose(counts.f_measure, 2 / 3)
+
+
+def test_segment_f1():
+    ref = pd.DataFrame({
+        "event_label": ["EATO"], "onset": [0.0], "offset": [5.0],
+        "filename": ["f1"],
+    })
+    est = pd.DataFrame({
+        "event_label": ["EATO"], "onset": [0.0], "offset": [3.0],
+        "filename": ["f1"],
+    })
+    # ref occupies segments 0-4, est 0-2 → tp=3, nref=5, nsys=3 → F=6/8
+    assert np.isclose(segment_based_f1(ref, est), 0.75)
+
+
+def test_psds_macro_f_and_cross_triggers():
+    gt = pd.DataFrame({
+        "event_label": ["EATO", "WOTH"],
+        "onset": [0.0, 5.0], "offset": [2.0, 7.0],
+        "filename": ["f1", "f1"],
+    })
+    det = pd.DataFrame({
+        "event_label": ["EATO", "EATO"],
+        # first covers the EATO gt; second sits on WOTH's span (cross-trigger)
+        "onset": [0.0, 5.0], "offset": [2.0, 7.0],
+        "filename": ["f1", "f1"],
+    })
+    ct, macro_f1, per_class = compute_macro_f_score(det, gt)
+    # EATO: tp=1 fp=1 fn=0 → F1=2/3; WOTH: tp=0 fn=1 → 0
+    assert np.isclose(per_class["EATO"], 2 / 3)
+    assert per_class["WOTH"] == 0.0
+    assert np.isclose(macro_f1, 1 / 3)
+    classes = sorted(["EATO", "WOTH"])
+    i, j = classes.index("EATO"), classes.index("WOTH")
+    assert ct[i, j] == 1  # EATO detection cross-triggered on WOTH gt
+
+
+def test_psds_curve_basic():
+    gt = pd.DataFrame({
+        "event_label": ["EATO"], "onset": [0.0], "offset": [2.0],
+        "filename": ["f1"],
+    })
+    perfect = evaluate_operating_point(gt.copy(), gt)
+    res = compute_psds([perfect], total_duration_s=10.0, max_efpr=100.0)
+    assert np.isclose(res.value, 1.0)
+    empty = evaluate_operating_point(gt.iloc[:0], gt)
+    res0 = compute_psds([empty], total_duration_s=10.0)
+    assert res0.value == 0.0
+
+
+def test_tagging_accumulator():
+    acc = TaggingF1Accumulator(3)
+    probs = np.array([[0.9, 0.2, 0.6], [0.1, 0.8, 0.4]])
+    targets = np.array([[1, 0, 0], [0, 1, 1]])
+    acc.update(probs, targets)
+    f1 = acc.per_class_f1()
+    assert f1[0] == 1.0 and f1[1] == 1.0
+    # class 2: one fp (0.6>0.5 vs 0) and one fn (0.4<0.5 vs 1) → f1 0
+    assert f1[2] == 0.0
+    assert np.isclose(acc.macro_f1(), 2 / 3)
+
+
+def test_durations_df():
+    df = durations_df(["a", "b", "a"])
+    assert len(df) == 2 and (df.duration == 10.0).all()
