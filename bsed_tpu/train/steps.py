@@ -1,0 +1,514 @@
+"""The single, config-driven, jitted train step.
+
+Replaces the reference's 12 near-duplicate ~1,100-line training scripts
+(src/main_*.py — skeleton at /root/reference/src/main_baseline.py:168-598)
+with one XLA program assembled from static feature flags:
+
+  * supervised BCE on SYN (or ENA) strong+weak targets
+  * mean-teacher: EMA twins, on-device SNR noise for the teacher input,
+    MSE consistency × sigmoid ramp cost
+  * ISP/SCT: vmapped per-sample time/freq rolls (replacing the reference's
+    per-sample host loop, main_baseline.py:229-277) + shift-consistency
+  * ICT mixup (main.py lineage)
+  * domain adaptation: GRL pre-step (DANN/CDAN/frame-CDAN) or ADDA-style
+    alternating discriminator/confusion updates (main_scmt.py:312-369)
+
+TPU-first details: the whole step is ONE jit program (all 9+ forwards fuse
+into a single XLA executable, no per-op dispatch); ApplyLog and the noise
+augmentation run on device in the step; BatchNorm batch-stat threading
+follows the reference's forward order exactly so training dynamics match
+(SURVEY.md §7 hard part 3/4). Under a data mesh the batch arrives sharded;
+jnp reductions insert the cross-chip collectives automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bsed_tpu.config import Config
+from bsed_tpu.models.crnn import make_encoder
+from bsed_tpu.models.discriminators import (ClipDiscriminator,
+                                            ClipDiscriminatorSoftmax,
+                                            FrameDiscriminator,
+                                            FrameDiscriminatorGRL)
+from bsed_tpu.ops.augment import (gaussian_snr_noise, mixup, roll_batch,
+                                  sample_isp_shifts)
+from bsed_tpu.ops.grl import warm_start_lambda
+from bsed_tpu.ops.mel import amplitude_to_db
+from bsed_tpu.models.predictor import Predictor
+from bsed_tpu.train import da as da_losses
+from bsed_tpu.train.ema import ema_update
+from bsed_tpu.train.losses import bce, mse
+from bsed_tpu.train.ramps import sigmoid_rampdown
+from bsed_tpu.train.schedule import learning_rate
+from bsed_tpu.train.state import TrainState
+
+sg = jax.lax.stop_gradient
+
+
+@dataclasses.dataclass
+class TrainModules:
+    cfg: Config
+    encoder: Any
+    predictor: Any
+    discriminator: Optional[Any]
+    optimizer: optax.GradientTransformation
+    enc_optimizer: Optional[optax.GradientTransformation]
+    disc_optimizer: Optional[optax.GradientTransformation]
+    rand_maps: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def _base_optimizer(cfg: Config):
+    t = cfg.train
+    if t.optimizer == "adam":
+        def make(learning_rate):
+            return optax.adam(learning_rate, b1=0.9, b2=0.999)
+    else:  # SGD(momentum .9, nesterov, wd 1e-4) — main_scmt_ada_weak.py:854-862
+        def make(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(t.sgd_weight_decay),
+                optax.sgd(learning_rate, momentum=t.sgd_momentum,
+                          nesterov=True))
+    return optax.inject_hyperparams(make)(
+        learning_rate=t.max_learning_rate)
+
+
+def _make_discriminator(cfg: Config):
+    mode, level = cfg.da.mode, cfg.da.level
+    if mode == "none":
+        return None
+    if mode == "adda":
+        return FrameDiscriminatorGRL(dropout=0.5)      # 2-unit sigmoid MLP
+    if mode == "cdan_frame":
+        return FrameDiscriminator(dropout=0.5)         # per-frame 1-unit
+    if mode == "cdan":
+        return (ClipDiscriminator() if level == "clip"
+                else FrameDiscriminatorGRL(dropout=0.5))
+    if mode == "dann":
+        return FrameDiscriminatorGRL(dropout=0.5)
+    raise ValueError(mode)
+
+
+def build_modules(cfg: Config) -> TrainModules:
+    encoder = make_encoder(cfg.model, cfg.n_frames)
+    predictor = Predictor(nclass=cfg.nclass, attention=cfg.model.attention)
+    disc = _make_discriminator(cfg)
+    rand_maps = None
+    if cfg.da.mode == "cdan" and cfg.da.randomized_dim > 0:
+        feat_dim = 2 * cfg.model.n_rnn_cell * cfg.n_frames
+        rand_maps = da_losses.make_randomized_maps(
+            feat_dim, cfg.nclass, cfg.da.randomized_dim, seed=cfg.train.seed)
+    return TrainModules(
+        cfg=cfg,
+        encoder=encoder,
+        predictor=predictor,
+        discriminator=disc,
+        optimizer=_base_optimizer(cfg),
+        enc_optimizer=_base_optimizer(cfg) if disc is not None else None,
+        disc_optimizer=_base_optimizer(cfg) if disc is not None else None,
+        rand_maps=rand_maps,
+    )
+
+
+def _init_model(module, rng, x, **kw):
+    p_rng, d_rng = jax.random.split(rng)
+    variables = module.init({"params": p_rng, "dropout": d_rng}, x,
+                            train=True, **kw)
+    return variables.get("params", {}), variables.get("batch_stats", {})
+
+
+def create_train_state(cfg: Config, modules: TrainModules,
+                       rng: jax.Array) -> TrainState:
+    dummy = jnp.zeros((2, cfg.audio.max_frames, cfg.audio.n_mels, 1),
+                      jnp.float32)
+    k_enc, k_pred, k_ema_e, k_ema_p, k_disc = jax.random.split(rng, 5)
+    enc_params, enc_stats = _init_model(modules.encoder, k_enc, dummy)
+    dummy_enc = jnp.zeros((2, cfg.n_frames, 2 * cfg.model.n_rnn_cell))
+    pred_params, _ = _init_model(modules.predictor, k_pred, dummy_enc)
+    params = {"encoder": enc_params, "predictor": pred_params}
+    batch_stats = {"encoder": enc_stats}
+    opt_state = modules.optimizer.init(params)
+
+    ema_params = ema_stats = None
+    if cfg.train.mean_teacher:
+        # the reference gives the teacher its OWN random init
+        # (main_baseline.py:817-818) — the EMA converges onto the student
+        e_params, e_stats = _init_model(modules.encoder, k_ema_e, dummy)
+        p_params, _ = _init_model(modules.predictor, k_ema_p, dummy_enc)
+        ema_params = {"encoder": e_params, "predictor": p_params}
+        ema_stats = {"encoder": e_stats}
+
+    disc_params = disc_stats = disc_opt = enc_opt = None
+    if modules.discriminator is not None:
+        if cfg.da.mode in ("cdan",) and cfg.da.level == "clip":
+            dummy_d = jnp.zeros((2, cfg.n_frames, 2 * cfg.model.n_rnn_cell))
+        elif cfg.da.mode == "cdan" and modules.rand_maps is not None:
+            dummy_d = jnp.zeros((2, cfg.da.randomized_dim))
+        elif cfg.da.mode == "dann":
+            dummy_d = jnp.zeros((2, cfg.n_frames * 2 * cfg.model.n_rnn_cell))
+        else:
+            dummy_d = jnp.zeros((2, cfg.n_frames, 2 * cfg.model.n_rnn_cell))
+        disc_params, disc_stats = _init_model(modules.discriminator, k_disc,
+                                              dummy_d)
+        disc_opt = modules.disc_optimizer.init(disc_params)
+        enc_opt = modules.enc_optimizer.init(enc_params)
+
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      ema_params=ema_params, ema_batch_stats=ema_stats,
+                      disc_params=disc_params, disc_batch_stats=disc_stats,
+                      disc_opt_state=disc_opt, enc_opt_state=enc_opt)
+
+
+def _log_input(linear_mel: jnp.ndarray) -> jnp.ndarray:
+    """linear mel (B, T, F) → log-mel with channel axis (B, T, F, 1)."""
+    return amplitude_to_db(linear_mel)[..., None]
+
+
+def make_train_step(modules: TrainModules) -> Callable:
+    cfg = modules.cfg
+    t = cfg.train
+    encoder, predictor = modules.encoder, modules.predictor
+    mean_teacher = t.mean_teacher
+    isp = t.isp
+    use_mixup = t.mixup
+    da_mode = cfg.da.mode if t.stage == "adaptation" or cfg.da.mode == "adda" \
+        else "none"
+
+    def model_fwd(params, stats, x, key, inference=False):
+        k1, k2 = jax.random.split(key)
+        (enc, _), mut = encoder.apply(
+            {"params": params["encoder"], "batch_stats": stats["encoder"]},
+            x, train=True, rngs={"dropout": k1}, mutable=["batch_stats"])
+        strong, weak = predictor.apply(
+            {"params": params["predictor"]}, enc, train=True,
+            inference=inference, rngs={"dropout": k2})
+        return strong, weak, enc, {"encoder": mut["batch_stats"]}
+
+    def disc_apply_fn(disc_params, disc_stats, key):
+        def apply(h):
+            if disc_stats:
+                out, _ = modules.discriminator.apply(
+                    {"params": disc_params, "batch_stats": disc_stats}, h,
+                    train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"])
+                return out
+            return modules.discriminator.apply(
+                {"params": disc_params}, h, train=True,
+                rngs={"dropout": key})
+        return apply
+
+    def _domain_features(params, stats, x_syn, x_real, key):
+        k1, k2 = jax.random.split(key)
+        syn_strong, syn_weak, syn_enc, stats = model_fwd(params, stats,
+                                                         x_syn, k1)
+        r_strong, r_weak, r_enc, stats = model_fwd(params, stats, x_real, k2)
+        return syn_strong, syn_weak, syn_enc, r_strong, r_weak, r_enc, stats
+
+    def grl_pre_step(state: TrainState, x_syn, x_real, key):
+        """GRL-based discriminator pre-step (main_baseline.py:314-335):
+        one backward through the reversed discriminator loss updates both
+        the encoder (via its aux optimizer) and the discriminator."""
+        grl_coeff = warm_start_lambda(state.step, cfg.da.grl_alpha,
+                                      cfg.da.grl_lo, cfg.da.grl_hi,
+                                      cfg.da.grl_max_iters)
+        k_fwd, k_disc = jax.random.split(key)
+
+        def domain_loss_fn(enc_params, disc_params):
+            params = {"encoder": enc_params,
+                      "predictor": state.params["predictor"]}
+            (syn_s, _, syn_f, r_s, _, r_f,
+             stats) = _domain_features(params, state.batch_stats, x_syn,
+                                       x_real, k_fwd)
+            dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
+                                   k_disc)
+            if da_mode == "cdan_frame":
+                dl = da_losses.cdan_frame_loss(dapply, syn_s, syn_f, r_s,
+                                               r_f, grl_coeff)
+            elif da_mode == "cdan":
+                fs = syn_f.reshape(syn_f.shape[0], -1)
+                ft = r_f.reshape(r_f.shape[0], -1)
+                if cfg.da.level == "clip" and modules.rand_maps is None:
+                    dl = da_losses.cdan_frame_loss(dapply, syn_s, syn_f,
+                                                   r_s, r_f, grl_coeff)
+                else:
+                    rf, rg = modules.rand_maps
+                    gs = syn_s.max(axis=1)
+                    gt = r_s.max(axis=1)
+                    dl = da_losses.cdan_loss(dapply, gs, fs, gt, ft, rf, rg,
+                                             cfg.da.entropy_conditioning,
+                                             grl_coeff)
+            else:  # dann
+                fs = syn_f.reshape(syn_f.shape[0], -1)
+                ft = r_f.reshape(r_f.shape[0], -1)
+                dl = da_losses.dann_loss(dapply, fs, ft, grl_coeff)
+            return dl, stats
+
+        (dl, new_stats), (g_enc, g_disc) = jax.value_and_grad(
+            domain_loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params["encoder"], state.disc_params)
+
+        enc_updates, enc_opt = modules.enc_optimizer.update(
+            g_enc, state.enc_opt_state, state.params["encoder"])
+        enc_params = optax.apply_updates(state.params["encoder"], enc_updates)
+        disc_updates, disc_opt = modules.disc_optimizer.update(
+            g_disc, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        state = state.replace(
+            params={**state.params, "encoder": enc_params},
+            batch_stats=new_stats,
+            disc_params=disc_params,
+            disc_opt_state=disc_opt,
+            enc_opt_state=enc_opt)
+        return state, dl
+
+    def adda_steps(state: TrainState, x_syn, x_real, key):
+        """ADDA-style alternating updates (main_scmt.py:312-369), executed
+        every cfg.da.update_step steps via lax.cond."""
+        k_fwd1, k_fwd2, k_d, k_c, k_choice1, k_choice2 = jax.random.split(
+            key, 6)
+
+        def run(state):
+            # --- discriminator step on detached features
+            def d_loss_fn(disc_params):
+                _, _, _, _, _, r_f, stats = _domain_features(
+                    state.params, state.batch_stats, x_syn, x_real, k_fwd1)
+                _, _, syn_f, _, _, _, stats2 = _domain_features(
+                    state.params, stats, x_syn, x_real, k_fwd1)
+                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
+                                       k_d)
+                return da_losses.adda_discriminator_loss(
+                    dapply, k_choice1, r_f, syn_f, cfg.da.adv_weight), stats
+            (dl, stats_after), g_disc = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.disc_params)
+            disc_updates, disc_opt = modules.disc_optimizer.update(
+                g_disc, state.disc_opt_state, state.disc_params)
+            disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+            # --- feature-extractor confusion step
+            def c_loss_fn(enc_params):
+                params = {"encoder": enc_params,
+                          "predictor": state.params["predictor"]}
+                _, _, _, _, _, r_f, stats = _domain_features(
+                    params, stats_after, x_syn, x_real, k_fwd2)
+                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
+                                       k_c)
+                return da_losses.adda_confusion_loss(
+                    dapply, k_choice2, r_f, cfg.da.adv_weight), stats
+            (cl, new_stats), g_enc = jax.value_and_grad(
+                c_loss_fn, has_aux=True)(state.params["encoder"])
+            enc_updates, enc_opt = modules.enc_optimizer.update(
+                g_enc, state.enc_opt_state, state.params["encoder"])
+            enc_params = optax.apply_updates(state.params["encoder"],
+                                             enc_updates)
+            return state.replace(
+                params={**state.params, "encoder": enc_params},
+                batch_stats=new_stats,
+                disc_params=disc_params, disc_opt_state=disc_opt,
+                enc_opt_state=enc_opt), dl + cl
+
+        def skip(state):
+            return state, jnp.zeros(())
+
+        return jax.lax.cond(state.step % cfg.da.update_step == 0, run, skip,
+                            state)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array, epoch: jnp.ndarray):
+        keys = jax.random.split(rng, 16)
+        (k_noise, k_shift, k_s1, k_s2, k_s3, k_s4, k_s5, k_s6,
+         k_t1, k_t2, k_t3, k_da, k_mix, k_mix2, k_extra, _) = keys
+
+        rampup_value = sigmoid_rampdown(epoch, t.rampdown_epochs)
+        cost = t.max_consistency_cost * rampup_value
+        lr = learning_rate(epoch, t.max_learning_rate, t.adjust_lr,
+                           t.rampdown_epochs)
+        state.opt_state.hyperparams["learning_rate"] = lr
+
+        syn_lin = batch["syn"]
+        real_lin = batch.get("real", None)
+        syn_target = batch["syn_strong"]                     # (Bs, Tf, C)
+        syn_target_weak = syn_target.max(axis=-2)
+        x_syn = _log_input(syn_lin)
+        x_real = _log_input(real_lin) if real_lin is not None else None
+        real_weak_target = batch.get("real_weak", None)      # (Br, C)
+        real_strong_target = batch.get("real_strong", None)
+
+        metrics: Dict[str, jnp.ndarray] = {"lr": lr,
+                                           "consistency_cost": cost}
+
+        # ---- domain-adaptation updates that precede the main step
+        if da_mode in ("dann", "cdan", "cdan_frame"):
+            state, dl = grl_pre_step(state, x_syn, x_real, k_da)
+            metrics["domain_loss"] = dl
+        elif da_mode == "adda":
+            state, dl = adda_steps(state, x_syn, x_real, k_da)
+            metrics["domain_loss"] = dl
+
+        # ---- teacher inputs (noise in the LINEAR mel domain, then log —
+        # transform order of get_transforms, Transforms.py:317)
+        if mean_teacher:
+            x_real_t = _log_input(
+                gaussian_snr_noise(k_noise, real_lin, cfg.audio.noise_snr))
+
+        # ---- ISP shifts (shared between real and syn streams,
+        # main_baseline.py:232-248)
+        if isp:
+            in_shift, pool_shift, freq_shift = sample_isp_shifts(
+                k_shift, syn_lin.shape[0], t.time_shift_max,
+                t.freq_shift_max, cfg.model.pooling_time_ratio)
+            x_real_shift = roll_batch(x_real, in_shift, axis=1)
+            x_real_freq = roll_batch(x_real, freq_shift, axis=2)
+            x_syn_shift = roll_batch(x_syn, in_shift, axis=1)
+            x_syn_freq = roll_batch(x_syn, freq_shift, axis=2)
+            syn_target_shift = roll_batch(syn_target, pool_shift, axis=1)
+            if mean_teacher:
+                x_real_t_shift = roll_batch(x_real_t, in_shift, axis=1)
+                x_real_t_freq = roll_batch(x_real_t, freq_shift, axis=2)
+
+        # ---- teacher forwards (no grad; teacher BN stats thread in the
+        # reference's call order, main_baseline.py:352-368)
+        teacher = {}
+        t_stats = state.ema_batch_stats
+        if mean_teacher:
+            ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                           x_real_t, k_t1)
+            teacher["strong"], teacher["weak"] = sg(ts), sg(tw)
+            if isp:
+                ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                               x_real_t_shift, k_t2)
+                teacher["strong_shift"], teacher["weak_shift"] = sg(ts), sg(tw)
+                ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                               x_real_t_freq, k_t3)
+                teacher["strong_freq"], teacher["weak_freq"] = sg(ts), sg(tw)
+
+        # ---- main loss
+        def loss_fn(params):
+            m: Dict[str, jnp.ndarray] = {}
+            stats = state.batch_stats
+            syn_strong, syn_weak, _, stats = model_fwd(params, stats, x_syn,
+                                                       k_s1)
+            if x_real is not None:
+                r_strong, r_weak, _, stats = model_fwd(params, stats, x_real,
+                                                       k_s2)
+
+            # supervised BCE (main_baseline.py:431-475 / _ena variant)
+            if t.supervise_on == "real" and real_strong_target is not None:
+                weak_loss = bce(r_weak, real_strong_target.max(axis=-2))
+                strong_loss = bce(r_strong, real_strong_target)
+            else:
+                weak_loss = bce(syn_weak, syn_target_weak)
+                if mean_teacher and real_weak_target is not None:
+                    weak_loss = weak_loss + bce(r_weak, real_weak_target)
+                strong_loss = bce(syn_strong, syn_target)
+            m["weak_class_loss"] = weak_loss
+            m["strong_class_loss"] = strong_loss
+            loss = strong_loss + weak_loss
+
+            if mean_teacher:
+                c_strong = cost * mse(r_strong, teacher["strong"])
+                c_weak = cost * mse(r_weak, teacher["weak"])
+                m["consistency_strong"] = c_strong
+                m["consistency_weak"] = c_weak
+                loss = loss + c_strong + c_weak
+
+            if isp:
+                half = r_weak.shape[0] // 2
+                rs_strong, rs_weak, _, stats = model_fwd(params, stats,
+                                                         x_real_shift, k_s3)
+                rf_strong, rf_weak, _, stats = model_fwd(params, stats,
+                                                         x_real_freq, k_s4)
+                ss_strong, ss_weak, _, stats = model_fwd(params, stats,
+                                                         x_syn_shift, k_s5)
+                sf_strong, sf_weak, _, stats = model_fwd(params, stats,
+                                                         x_syn_freq, k_s6)
+                # SCT classification losses (main_baseline.py:442-480)
+                weak_freq_loss = bce(sf_weak, syn_target_weak)
+                if real_weak_target is not None:
+                    weak_freq_loss = weak_freq_loss + bce(
+                        rf_weak[:half], real_weak_target[:half])
+                strong_shift_loss = bce(ss_strong, syn_target_shift)
+                strong_freq_loss = bce(sf_strong, syn_target)
+                m["weak_freq_shift_class_loss"] = weak_freq_loss
+                m["strong_shift_class_loss"] = strong_shift_loss
+                m["strong_freq_shift_class_loss"] = strong_freq_loss
+                loss = loss + weak_freq_loss + strong_shift_loss \
+                    + strong_freq_loss
+                # self shift-consistency (main_baseline.py:524-525)
+                syn_pred_shift = sg(roll_batch(syn_strong, pool_shift, axis=1))
+                real_pred_shift = sg(roll_batch(r_strong, pool_shift, axis=1))
+                c_shift = cost / 2 * (mse(ss_strong, syn_pred_shift)
+                                      + mse(rs_strong, real_pred_shift))
+                m["consistency_shift"] = c_shift
+                loss = loss + c_shift
+                if mean_teacher:
+                    c_ss = cost * mse(rs_strong, teacher["strong_shift"])
+                    c_sf = cost * mse(rf_strong, teacher["strong_freq"])
+                    m["consistency_strong_shift"] = c_ss
+                    m["consistency_strong_freq_shift"] = c_sf
+                    loss = loss + 0.5 * (c_ss + c_sf)
+
+            if use_mixup:
+                # ICT supervised mixup (main_baseline.py:132-145): mixed
+                # input scored against the lam-blended target
+                mixed_x, mixed_y, lam = mixup(k_mix, x_syn, syn_target,
+                                              alpha=t.mixup_alpha)
+                mx_strong, _, _, stats = model_fwd(params, stats, mixed_x,
+                                                   k_mix2)
+                mix_loss = bce(mx_strong, mixed_y)
+                m["mixup_strong_loss"] = mix_loss
+                loss = loss + mix_loss
+
+            m["loss"] = loss
+            return loss, (stats, m)
+
+        (loss, (new_stats, loss_metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics.update(loss_metrics)
+
+        updates, new_opt_state = modules.optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+
+        ema_params, ema_stats = state.ema_params, state.ema_batch_stats
+        if mean_teacher:
+            # state-dict EMA: params AND batch stats (main_baseline.py:91-105)
+            ema_params = ema_update(state.ema_params, new_params, new_step,
+                                    t.ema_alpha)
+            ema_stats = ema_update(t_stats, new_stats, new_step, t.ema_alpha)
+
+        new_state = state.replace(step=new_step, params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  ema_params=ema_params,
+                                  ema_batch_stats=ema_stats)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_predict_fn(modules: TrainModules) -> Callable:
+    """Jitted inference: linear mel (B, T, F) → (strong, weak) posteriors
+    with BN running averages and no dropout (get_predictions contract,
+    evaluation_measures.py:163-182)."""
+    cfg = modules.cfg
+
+    @functools.partial(jax.jit, static_argnames=("inference", "apply_log"))
+    def predict(params, batch_stats, mel, inference=False, apply_log=True):
+        x = _log_input(mel) if apply_log else mel[..., None]
+        enc, _ = modules.encoder.apply(
+            {"params": params["encoder"],
+             "batch_stats": batch_stats["encoder"]}, x, train=False)
+        strong, weak = modules.predictor.apply(
+            {"params": params["predictor"]}, enc, train=False,
+            inference=inference)
+        return strong, weak
+
+    return predict
