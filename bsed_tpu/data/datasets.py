@@ -1,0 +1,176 @@
+"""Map-style datasets over preprocessed feature dumps.
+
+Capability parity with /root/reference/src/data/dataload.py:
+  * NpyFeatureDataset  ≙ ENA_Dataset / SYN_Dataset (:17-160 — those two are
+    byte-identical in the reference): <dir>/wav/*.npy linear-mel dumps +
+    <dir>/annotation/<name>.txt Raven-style event tables → (features,
+    strong target, filename).
+  * PseudoLabeledDataset ≙ ENA_Dataset_unlabeled (:84-126): weak pseudo
+    labels come from a TSV (filename<TAB>event_labels) written by the
+    audio-tagging CLI, not from per-clip annotations.
+  * ConcatDataset (:198-254) ≙ plain ``ConcatDataset`` here.
+  * SyntheticDataSource: in-memory random fixture source for tests/bench
+    (the repo ships no audio data).
+
+Unlike the torch datasets, items return LINEAR mel — ApplyLog and the
+teacher-noise augmentation run on device inside the train step.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from bsed_tpu.config import Config
+from bsed_tpu.data.codec import ManyHotEncoder
+
+
+def pad_or_trunc(x: np.ndarray, n_frames: int) -> np.ndarray:
+    """Zero-pad / truncate on axis -2 (Transforms.py:89-139)."""
+    t = x.shape[-2]
+    if t < n_frames:
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, n_frames - t), (0, 0)]
+        return np.pad(x, pad, mode="constant")
+    return x[..., :n_frames, :]
+
+
+class NpyFeatureDataset:
+    """Strongly-labeled feature-dump dataset."""
+
+    def __init__(self, preprocess_dir: str, encoder: ManyHotEncoder,
+                 cfg: Config, in_memory: bool = True):
+        self.cfg = cfg
+        self.encoder = encoder
+        self.feature_dir = os.path.join(preprocess_dir, "wav")
+        self.annotation_dir = os.path.join(preprocess_dir, "annotation")
+        self.files = sorted(glob.glob(os.path.join(self.feature_dir, "*.npy")))
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self.in_memory = in_memory
+
+    def __len__(self):
+        return len(self.files)
+
+    def filename(self, index: int) -> str:
+        return os.path.splitext(os.path.basename(self.files[index]))[0]
+
+    def _load(self, index: int):
+        path = self.files[index]
+        features = pad_or_trunc(np.load(path).astype(np.float32),
+                                self.cfg.audio.max_frames)
+        ann = os.path.join(self.annotation_dir, self.filename(index) + ".txt")
+        df = pd.read_csv(ann, sep="\t")
+        target = self.encoder.encode_strong_df(df).astype(np.float32)
+        return features, target
+
+    def __getitem__(self, index: int):
+        if self.in_memory:
+            if index not in self._cache:
+                self._cache[index] = self._load(index)
+            features, target = self._cache[index]
+        else:
+            features, target = self._load(index)
+        return features, target, self.files[index]
+
+
+class PseudoLabeledDataset:
+    """Unlabeled stream with weak pseudo-labels from a TSV
+    (columns: filename, event_labels with comma-joined species codes)."""
+
+    def __init__(self, preprocess_dir: str, pseudo_label_tsv: str,
+                 encoder: ManyHotEncoder, cfg: Config,
+                 in_memory: bool = False):
+        self.cfg = cfg
+        self.encoder = encoder
+        self.feature_dir = os.path.join(preprocess_dir, "wav")
+        self.files = sorted(glob.glob(os.path.join(self.feature_dir, "*.npy")))
+        self.in_memory = in_memory
+        self._cache: Dict[int, np.ndarray] = {}
+        pl = pd.read_csv(pseudo_label_tsv, sep="\t")
+        # the reference matches on the full feature path (dataload.py:113);
+        # we match on both full path and basename for robustness
+        self._weak: Dict[str, str] = {}
+        for _, row in pl.iterrows():
+            key = os.path.splitext(os.path.basename(str(row["filename"])))[0]
+            self._weak[key] = row.get("event_labels", "")
+
+    def __len__(self):
+        return len(self.files)
+
+    def filename(self, index: int) -> str:
+        return os.path.splitext(os.path.basename(self.files[index]))[0]
+
+    def __getitem__(self, index: int):
+        if self.in_memory and index in self._cache:
+            features = self._cache[index]
+        else:
+            features = pad_or_trunc(
+                np.load(self.files[index]).astype(np.float32),
+                self.cfg.audio.max_frames)
+            if self.in_memory:
+                self._cache[index] = features
+        labels = self._weak.get(self.filename(index), "")
+        if isinstance(labels, float) and np.isnan(labels):
+            labels = ""
+        target = self.encoder.encode_weak(
+            [labels] if labels else []).astype(np.float32)
+        return features, target, self.files[index]
+
+
+class ConcatDataset:
+    """Concatenation of map-style datasets (dataload.py:198-254)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int):
+        ds = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[ds][index - int(self._offsets[ds])]
+
+    @property
+    def cluster_indices(self) -> List[np.ndarray]:
+        return [np.arange(self._offsets[i], self._offsets[i + 1])
+                for i in range(len(self.datasets))]
+
+
+class SyntheticDataSource:
+    """Random linear-mel clips with random strong labels; deterministic per
+    index. Stands in for the (unshipped) audio data in tests and bench."""
+
+    def __init__(self, cfg: Config, n_items: int = 64, seed: int = 0,
+                 weak_only: bool = False, event_rate: float = 0.03):
+        self.cfg = cfg
+        self.n_items = n_items
+        self.seed = seed
+        self.weak_only = weak_only
+        self.event_rate = event_rate
+
+    def __len__(self):
+        return self.n_items
+
+    def filename(self, index: int) -> str:
+        return f"synthetic_{self.seed}_{index}"
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        t, f = self.cfg.audio.max_frames, self.cfg.audio.n_mels
+        features = np.abs(rng.standard_normal((t, f))).astype(np.float32)
+        tf, c = self.cfg.n_frames, self.cfg.nclass
+        strong = np.zeros((tf, c), np.float32)
+        n_events = rng.poisson(self.event_rate * c)
+        for _ in range(max(1, n_events)):
+            cls = rng.integers(c)
+            a = int(rng.integers(0, max(1, tf - 4)))
+            b = a + int(rng.integers(2, max(3, min(60, tf - a))))
+            strong[a:b, cls] = 1.0
+            # boost the mel energy where the event is (weak signal)
+            features[a * 4:b * 4, (cls * 6) % f:(cls * 6) % f + 8] += 2.0
+        if self.weak_only:
+            return features, strong.max(axis=0), self.filename(index)
+        return features, strong, self.filename(index)

@@ -1,0 +1,125 @@
+"""Batch pipelines: the three-stream trainer feed and the eval loader.
+
+Replaces the reference's zip-of-three-DataLoaders with recycled iterators
+and silent ragged-batch skips (/root/reference/src/main_baseline.py:194-226)
+with a deterministic, static-shape batcher:
+
+  * epoch length = number of full SYN batches (the reference's driver
+    stream),
+  * the weak and unlabeled streams re-cycle modularly with per-epoch
+    reshuffling — no partial batches, no skips,
+  * per-host sharding for multi-process running: each host takes its
+    jax.process_index-strided slice of every stream.
+
+Batches are dicts of stacked numpy arrays ready for the jitted step:
+  syn (Bs,T,F) • syn_strong (Bs,Tf,C) • real (Br,T,F) — first half weak,
+  second half unlabeled-PL • real_weak (Br,C).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _epoch_order(n: int, rng: np.random.Generator, shuffle: bool) -> np.ndarray:
+    idx = np.arange(n)
+    return rng.permutation(idx) if shuffle else idx
+
+
+class ThreeStreamLoader:
+    def __init__(self, syn_dataset, weak_dataset=None, unlabeled_dataset=None,
+                 batch_size: int = 12, seed: int = 2023, shuffle: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.syn = syn_dataset
+        self.weak = weak_dataset
+        self.unlab = unlabeled_dataset
+        self.batch_size = batch_size
+        self.half = batch_size // 2
+        self.seed = seed
+        self.shuffle = shuffle
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        return len(self._host_indices(len(self.syn))) // self.batch_size
+
+    def _host_indices(self, n: int) -> np.ndarray:
+        return np.arange(self.process_index, n, self.process_count)
+
+    def _stream(self, dataset, per_batch: int, rng) -> Iterator[List[int]]:
+        """Infinite re-cycling index stream in chunks of per_batch."""
+        base = self._host_indices(len(dataset))
+        while True:
+            order = base[
+                rng.permutation(len(base))] if self.shuffle else base
+            for i in range(0, len(order) - per_batch + 1, per_batch):
+                yield order[i:i + per_batch].tolist()
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
+        syn_idx = self._host_indices(len(self.syn))
+        order = rng.permutation(len(syn_idx)) if self.shuffle \
+            else np.arange(len(syn_idx))
+        weak_stream = (self._stream(self.weak, self.half, rng)
+                       if self.weak is not None else None)
+        unlab_stream = (self._stream(self.unlab, self.half, rng)
+                        if self.unlab is not None else None)
+
+        for b in range(len(self)):
+            ids = syn_idx[order[b * self.batch_size:(b + 1) * self.batch_size]]
+            syn_items = [self.syn[i] for i in ids]
+            batch = {
+                "syn": np.stack([it[0] for it in syn_items]),
+                "syn_strong": np.stack([it[1] for it in syn_items]),
+            }
+            if weak_stream is not None and unlab_stream is not None:
+                weak_items = [self.weak[i] for i in next(weak_stream)]
+                unlab_items = [self.unlab[i] for i in next(unlab_stream)]
+                batch["real"] = np.stack(
+                    [it[0] for it in weak_items]
+                    + [it[0] for it in unlab_items])
+                # weak stream carries strong targets → reduce to weak
+                weak_targets = [
+                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                    for it in weak_items]
+                pl_targets = [
+                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                    for it in unlab_items]
+                batch["real_weak"] = np.stack(weak_targets + pl_targets)
+                # ENA-supervised variant needs real strong targets too
+                if all(it[1].ndim == 2 for it in weak_items + unlab_items):
+                    batch["real_strong"] = np.stack(
+                        [it[1] for it in weak_items]
+                        + [it[1] for it in unlab_items])
+            yield batch
+
+
+class EvalLoader:
+    """Sequential batches of (mel, strong target, filenames) with a padded
+    final batch (mask returned) so jit sees one static shape."""
+
+    def __init__(self, dataset, batch_size: int = 12):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            ids = list(range(start, min(start + self.batch_size, n)))
+            items = [self.dataset[i] for i in ids]
+            mel = np.stack([it[0] for it in items])
+            target = np.stack([it[1] for it in items])
+            names = [self.dataset.filename(i) if hasattr(
+                self.dataset, "filename") else str(it[2])
+                for i, it in zip(ids, items)]
+            n_valid = len(ids)
+            if n_valid < self.batch_size:          # pad to static shape
+                pad = self.batch_size - n_valid
+                mel = np.concatenate([mel, np.repeat(mel[-1:], pad, 0)])
+                target = np.concatenate([target,
+                                         np.repeat(target[-1:], pad, 0)])
+            yield mel, target, names, n_valid

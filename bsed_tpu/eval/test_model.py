@@ -1,0 +1,112 @@
+"""Checkpoint evaluation — the reference's TestModel.py as a library + CLI.
+
+Reference: /root/reference/src/TestModel.py — loads the best checkpoint,
+rebuilds model/encoder/median-window state from it (:34-120), runs
+``get_predictions`` + ``compute_metrics`` on the validation set, and writes
+a cross-trigger confusion-matrix CSV (:262-265).
+
+Two checkpoint sources are supported:
+  * this framework's orbax checkpoints (``stored_data/<name>/model/best``),
+  * reference torch pickles via ``bsed_tpu.utils.torch_compat`` (incl. the
+    legacy cnn.→cnn.cnn. key migration) for the numerics-parity gate.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from bsed_tpu.config import Config, get_config
+from bsed_tpu.data.codec import ManyHotEncoder
+from bsed_tpu.data.pipeline import EvalLoader
+from bsed_tpu.eval.decode import (decode_batch, groundtruth_df_from_events,
+                                  merge_prediction_dfs)
+from bsed_tpu.eval.psds import compute_macro_f_score
+from bsed_tpu.eval.sed_scores import (event_based_counts, macro_f_measure,
+                                      per_class_report)
+from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                  make_predict_fn)
+from bsed_tpu.utils.checkpoint import CheckpointManager
+from bsed_tpu.utils.logger import create_logger
+
+log = create_logger("bsed_tpu/test_model")
+
+
+def load_torch_checkpoint(path: str, cfg: Config):
+    """Reference torch pickle → (params, batch_stats) for our modules."""
+    import torch
+    from bsed_tpu.utils import torch_compat as tc
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    crnn_sd = ckpt["model"]["state_dict"]
+    pred_sd = ckpt["model_p"]["state_dict"]
+    params, stats = tc.convert_crnn(
+        {k: v for k, v in crnn_sd.items()},
+        n_blocks=len(cfg.model.nb_filters),
+        num_layers_rnn=cfg.model.n_layers_rnn,
+        activation=cfg.model.activation,
+        fpn=cfg.model.use_fpn)
+    p_params = tc.convert_predictor({k: v for k, v in pred_sd.items()})
+    return ({"encoder": params, "predictor": p_params},
+            {"encoder": stats})
+
+
+def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
+                        store_dir: Optional[str] = None,
+                        torch_ckpt: Optional[str] = None,
+                        tag: str = "best",
+                        thresholds=(0.5,),
+                        learned_post: bool = False,
+                        confusion_csv: Optional[str] = None
+                        ) -> Dict[str, float]:
+    modules = build_modules(cfg)
+    if torch_ckpt is not None:
+        params, stats = load_torch_checkpoint(torch_ckpt, cfg)
+    else:
+        import jax
+        template = create_train_state(cfg, modules, jax.random.key(0))
+        state = CheckpointManager(store_dir).restore(tag, template)
+        params, stats = state.params, state.batch_stats
+    predict = make_predict_fn(modules)
+    codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
+                           sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
+                           pooling_time_ratio=cfg.model.pooling_time_ratio)
+
+    pred_dfs = []
+    gt_events = {}
+    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
+    for mel, target, names, n_valid in loader:
+        strong, _ = predict(params, stats, jnp.asarray(mel),
+                            inference=cfg.model.use_fpn)
+        strong = np.asarray(strong)[:n_valid]
+        names = names[:n_valid]
+        pred_dfs.append(decode_batch(strong, names, cfg.bird_list, cfg,
+                                     thresholds=thresholds,
+                                     learned_post=learned_post))
+        target = np.asarray(target)[:n_valid]
+        for b, name in enumerate(names):
+            events = codec.decode_strong(target[b])
+            gt_events[name] = [(l, a * sec, b_ * sec)
+                               for (l, a, b_) in events]
+
+    pred_df = merge_prediction_dfs(pred_dfs)[thresholds[0]]
+    gt_df = groundtruth_df_from_events(gt_events)
+
+    counts = event_based_counts(gt_df, pred_df)
+    event_f1 = float(np.mean([c.f_measure for c in counts.values()])) \
+        if counts else 0.0
+    ct, psds_f1, per_class = compute_macro_f_score(pred_df, gt_df)
+    log.info("event F1=%.4f  psds F1=%.4f", event_f1, psds_f1)
+    log.info("\n%s", per_class_report(counts))
+
+    if confusion_csv:
+        classes = sorted(set(gt_df["event_label"].dropna())
+                         | set(pred_df["event_label"].dropna()))
+        pd.DataFrame(ct, index=classes, columns=classes).to_csv(
+            confusion_csv)
+
+    return {"event_f1": event_f1, "psds_f1": psds_f1,
+            "per_class_f1": {k: c.f_measure for k, c in counts.items()}}

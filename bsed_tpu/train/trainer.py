@@ -1,0 +1,223 @@
+"""Epoch-level trainer: the config-driven replacement for the reference's
+``__main__`` blocks (/root/reference/src/main_baseline.py:602-1093).
+
+Responsibilities (with reference anchors):
+  * build encoder/predictor/discriminator + optimizers + EMA twins (:780-871)
+  * per-epoch: run the jitted train step over the three-stream loader
+    (:981-1007), then validate with ``get_predictions``-equivalent decoding
+    and event-F1/PSDS scoring (:1015-1031)
+  * checkpoint every epoch + SaveBest on the configured metric (:1040-1077)
+  * optional EarlyStopping (:1079-1082), stage-boundary discriminator
+    re-init on resume (:836-840)
+  * metrics to TensorBoard (tensorboardX) + results.tsv (:1092)
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from bsed_tpu.config import Config
+from bsed_tpu.data.codec import ManyHotEncoder
+from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
+from bsed_tpu.eval.decode import (decode_batch, durations_df,
+                                  groundtruth_df_from_events,
+                                  merge_prediction_dfs)
+from bsed_tpu.eval.psds import compute_macro_f_score
+from bsed_tpu.eval.sed_scores import event_based_f1
+from bsed_tpu.eval.tagging import TaggingF1Accumulator
+from bsed_tpu.train.steps import (TrainModules, build_modules,
+                                  create_train_state, make_predict_fn,
+                                  make_train_step)
+from bsed_tpu.utils.checkpoint import CheckpointManager
+from bsed_tpu.utils.logger import create_logger
+from bsed_tpu.utils.meters import AverageMeterSet, EarlyStopping, SaveBest
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_loader: ThreeStreamLoader,
+                 val_loader: Optional[EvalLoader] = None,
+                 syn_eval_loader: Optional[EvalLoader] = None,
+                 store_dir: Optional[str] = None,
+                 use_tensorboard: bool = False):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.syn_eval_loader = syn_eval_loader
+        self.log = create_logger(f"bsed_tpu/{cfg.model_name}")
+        self.store_dir = store_dir or os.path.join("stored_data",
+                                                   cfg.model_name)
+        self.ckpt = CheckpointManager(self.store_dir)
+        self.encoder_codec = ManyHotEncoder(
+            cfg.bird_list, n_frames=cfg.n_frames, sr=cfg.audio.sr,
+            hop_size=cfg.audio.hop_size,
+            pooling_time_ratio=cfg.model.pooling_time_ratio)
+
+        self.modules: TrainModules = build_modules(cfg)
+        self.rng = jax.random.key(cfg.train.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = create_train_state(cfg, self.modules, init_rng)
+        self.train_step = make_train_step(self.modules)
+        self.predict = make_predict_fn(self.modules)
+        self.saver = SaveBest("sup")
+        self.early_stopping = (
+            EarlyStopping(cfg.train.early_stopping, cfg.train.es_init_wait)
+            if cfg.train.early_stopping else None)
+        self.writer = None
+        if use_tensorboard:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(os.path.join(self.store_dir, "log"))
+        self.history: list = []
+        self.ckpt.save_meta({
+            "model_name": cfg.model_name,
+            "crnn_kwargs": {
+                "nb_filters": cfg.model.nb_filters,
+                "pooling": cfg.model.pooling,
+                "activation": cfg.model.activation,
+                "n_rnn_cell": cfg.model.n_rnn_cell,
+                "n_layers_rnn": cfg.model.n_layers_rnn,
+                "use_fpn": cfg.model.use_fpn,
+            },
+            "pooling_time_ratio": cfg.model.pooling_time_ratio,
+            "many_hot_encoder": self.encoder_codec.state_dict(),
+            "median_window": cfg.median_window,
+            "median_window_classwise": cfg.median_window_classwise,
+        })
+
+    # ------------------------------------------------------------------
+    def resume(self, epoch: int) -> None:
+        """Resume from epoch_<epoch-1>; at stage boundaries (epoch 1 / 51,
+        main_baseline.py:836-840) the discriminator keeps its fresh init."""
+        tag = f"epoch_{epoch - 1}"
+        restored = self.ckpt.restore(tag, self.state)
+        if self.cfg.train.stage == "adaptation" and epoch in (1, 51):
+            restored = restored.replace(
+                disc_params=self.state.disc_params,
+                disc_opt_state=self.state.disc_opt_state,
+                disc_batch_stats=self.state.disc_batch_stats)
+        self.state = restored
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        meters = AverageMeterSet()
+        start = time.time()
+        n_steps = 0
+        for batch in self.train_loader.epoch(epoch):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(
+                self.state, batch, step_rng, jnp.asarray(epoch, jnp.float32))
+            n_steps += 1
+            if n_steps % 10 == 0 or n_steps == len(self.train_loader):
+                for k, v in metrics.items():
+                    v = float(v)
+                    assert not (np.isnan(v) or v > 1e5), \
+                        f"Loss explosion in {k}: {v}"
+                    meters.update(k, v)
+                    if self.writer is not None:
+                        step = int(self.state.step)
+                        self.writer.add_scalar(k, v, step)
+        avgs = meters.averages()
+        self.log.info("Epoch %d: %d steps in %.1fs  %s", epoch, n_steps,
+                      time.time() - start, meters)
+        return avgs
+
+    # ------------------------------------------------------------------
+    def _eval_params(self):
+        """Validate with the student model (the reference evaluates the
+        student; the EMA teacher is used for consistency only)."""
+        return self.state.params, self.state.batch_stats
+
+    def evaluate(self, loader: EvalLoader, thresholds=(0.5,),
+                 learned_post: bool = False) -> Dict[str, float]:
+        params, stats = self._eval_params()
+        pred_dfs = []
+        gt_events: Dict[str, list] = {}
+        tagging = TaggingF1Accumulator(self.cfg.nclass)
+        filenames_all = []
+        for mel, target, names, n_valid in loader:
+            strong, weak = self.predict(params, stats, jnp.asarray(mel),
+                                        inference=self.cfg.model.use_fpn)
+            strong = np.asarray(strong)[:n_valid]
+            weak = np.asarray(weak)[:n_valid]
+            names = names[:n_valid]
+            pred_dfs.append(decode_batch(strong, names, self.cfg.bird_list,
+                                         self.cfg, thresholds=thresholds,
+                                         learned_post=learned_post))
+            target = np.asarray(target)[:n_valid]
+            if target.ndim == 3:
+                for b, name in enumerate(names):
+                    events = self.encoder_codec.decode_strong(target[b])
+                    sec = self.cfg.model.pooling_time_ratio / (
+                        self.cfg.audio.sr / self.cfg.audio.hop_size)
+                    gt_events[name] = [(l, a * sec, b_ * sec)
+                                       for (l, a, b_) in events]
+                tagging.update(weak, target.max(axis=1))
+            else:
+                tagging.update(weak, target)
+            filenames_all.extend(names)
+
+        merged = merge_prediction_dfs(pred_dfs)
+        pred_df = merged[thresholds[0]]
+        gt_df = groundtruth_df_from_events(gt_events)
+        results = {"weak_f1": tagging.macro_f1()}
+        if len(gt_df):
+            results["event_f1"] = event_based_f1(gt_df, pred_df)
+            _, psds_f1, _ = compute_macro_f_score(pred_df, gt_df)
+            results["psds_f1"] = psds_f1
+        else:
+            results["event_f1"] = 0.0
+            results["psds_f1"] = 0.0
+        return results
+
+    # ------------------------------------------------------------------
+    def fit(self, n_epochs: Optional[int] = None,
+            start_epoch: int = 0) -> Dict[str, float]:
+        cfg = self.cfg
+        n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epoch
+        if start_epoch > 0:
+            self.resume(start_epoch)
+        best = {}
+        for epoch in range(start_epoch, n_epochs):
+            train_metrics = self.train_epoch(epoch)
+            row = {"epoch": epoch, **train_metrics}
+            if self.syn_eval_loader is not None:
+                syn_scores = self.evaluate(self.syn_eval_loader)
+                row.update({f"syn_{k}": v for k, v in syn_scores.items()})
+            if self.val_loader is not None:
+                val_scores = self.evaluate(self.val_loader)
+                row.update({f"val_{k}": v for k, v in val_scores.items()})
+                metric_key = ("val_weak_f1"
+                              if cfg.train.best_metric == "weak_f1"
+                              else "val_event_f1")
+                score = row.get(metric_key, 0.0)
+                if self.writer is not None:
+                    self.writer.add_scalar(metric_key, score, epoch)
+                if cfg.train.checkpoint_epochs and \
+                        epoch % cfg.train.checkpoint_epochs == 0:
+                    self.ckpt.save(f"epoch_{epoch}", self.state)
+                if self.saver.apply(score, epoch):
+                    self.ckpt.save("best", self.state)
+                    best = dict(row)
+                if self.early_stopping is not None and \
+                        self.early_stopping.apply(score, epoch):
+                    self.log.info("Early stopping at epoch %d", epoch)
+                    self.history.append(row)
+                    break
+            else:
+                if cfg.train.checkpoint_epochs and \
+                        epoch % cfg.train.checkpoint_epochs == 0:
+                    self.ckpt.save(f"epoch_{epoch}", self.state)
+            self.history.append(row)
+        self._write_results()
+        return best or (self.history[-1] if self.history else {})
+
+    def _write_results(self) -> None:
+        if self.history:
+            df = pd.DataFrame(self.history)
+            df.to_csv(os.path.join(self.store_dir, "results.tsv"),
+                      sep="\t", index=False)

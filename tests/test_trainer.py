@@ -1,0 +1,79 @@
+"""End-to-end slice: synthetic data → three-stream loader → trainer →
+eval → checkpoint/resume."""
+import os
+
+import numpy as np
+import pytest
+
+from bsed_tpu.config import AudioConfig, get_config
+from bsed_tpu.data.datasets import SyntheticDataSource
+from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
+from bsed_tpu.train.trainer import Trainer
+
+SMALL_AUDIO = AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0)
+
+
+def make_trainer(tmp_path, preset="baseline", n_items=16, batch=4, **over):
+    cfg = get_config(preset, **over).replace(audio=SMALL_AUDIO)
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "batch_size": batch}))
+    syn = SyntheticDataSource(cfg, n_items=n_items, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=n_items // 2, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=n_items // 2, seed=3)
+    val = SyntheticDataSource(cfg, n_items=8, seed=4)
+    loader = ThreeStreamLoader(syn, weak, unlab, batch_size=batch,
+                               seed=cfg.train.seed)
+    val_loader = EvalLoader(val, batch_size=batch)
+    return Trainer(cfg, loader, val_loader=val_loader,
+                   store_dir=str(tmp_path / "run"))
+
+
+def test_three_stream_loader_shapes():
+    cfg = get_config("baseline").replace(audio=SMALL_AUDIO)
+    syn = SyntheticDataSource(cfg, n_items=10, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=3, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=3, seed=3)
+    loader = ThreeStreamLoader(syn, weak, unlab, batch_size=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader) == 2
+    b = batches[0]
+    assert b["syn"].shape == (4, cfg.audio.max_frames, cfg.audio.n_mels)
+    assert b["syn_strong"].shape == (4, cfg.n_frames, cfg.nclass)
+    assert b["real"].shape[0] == 4          # 2 weak + 2 unlabeled
+    assert b["real_weak"].shape == (4, cfg.nclass)
+    # deterministic per (seed, epoch); different across epochs
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(b["syn"], again[0]["syn"])
+    other = list(loader.epoch(1))
+    assert not np.array_equal(b["syn"], other[0]["syn"])
+
+
+def test_trainer_fit_eval_checkpoint_resume(tmp_path):
+    trainer = make_trainer(tmp_path)
+    best = trainer.fit(n_epochs=2)
+    assert "val_event_f1" in best
+    assert os.path.exists(os.path.join(trainer.store_dir, "results.tsv"))
+    assert trainer.ckpt.has("best")
+    assert trainer.ckpt.has("epoch_1")
+    assert trainer.ckpt.latest_epoch() == 1
+    step_before = int(trainer.state.step)
+
+    # fresh trainer resumes from epoch_1 checkpoint
+    trainer2 = make_trainer(tmp_path)
+    trainer2.resume(2)
+    assert int(trainer2.state.step) == step_before
+
+    # meta round-trips
+    meta = trainer2.ckpt.load_meta()
+    assert meta["pooling_time_ratio"] == 4
+    assert meta["many_hot_encoder"]["labels"][0] == "EATO"
+
+
+def test_training_learns_on_synthetic(tmp_path):
+    """The synthetic source plants class-correlated energy; a few epochs of
+    supervised training must beat the untrained model's loss clearly."""
+    trainer = make_trainer(tmp_path, n_items=24, batch=8)
+    first = trainer.train_epoch(0)
+    for e in range(1, 6):
+        last = trainer.train_epoch(e)
+    assert last["loss"] < first["loss"] * 0.8
