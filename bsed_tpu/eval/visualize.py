@@ -53,6 +53,21 @@ def tsne_domain_audit(syn_emb: np.ndarray, real_emb: np.ndarray,
     return pts, y, sil
 
 
+def project_embeddings(emb: np.ndarray, method: str = "pca",
+                       n_components: int = 2, seed: int = 0) -> np.ndarray:
+    """PCA/ICA projections (save_features_test.py variants)."""
+    x = _flatten(emb)
+    if method == "pca":
+        from sklearn.decomposition import PCA
+        return PCA(n_components=n_components,
+                   random_state=seed).fit_transform(x)
+    if method == "ica":
+        from sklearn.decomposition import FastICA
+        return FastICA(n_components=n_components,
+                       random_state=seed).fit_transform(x)
+    raise ValueError(method)
+
+
 def svm_domain_accuracy(syn_emb: np.ndarray, real_emb: np.ndarray,
                         folds: int = 5, seed: int = 0) -> float:
     """5-fold SVM accuracy at telling domains apart (visualize.py:103-121).

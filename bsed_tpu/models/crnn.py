@@ -116,5 +116,22 @@ class CRNNPred(nn.Module):
         return strong, weak
 
 
+class CRNNDA(nn.Module):
+    """CRNN with a built-in gradient-reversed frame discriminator
+    (/root/reference/src/models/CRNN.py:113-174): forward returns
+    ``(encoded, d_input, domain_pred)``."""
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, grl_coeff: float = 1.0):
+        from bsed_tpu.models.discriminators import FrameDiscriminatorGRL
+
+        x, d_input = CRNN(self.cfg, name="crnn")(x, train=train)
+        domain_pred = FrameDiscriminatorGRL(dropout=0.5,
+                                            name="discriminator")(
+            d_input, train=train, grl_coeff=grl_coeff)
+        return x, d_input, domain_pred
+
+
 def make_encoder(cfg: ModelConfig, n_frames: int = 313) -> nn.Module:
     return CRNNFPN(cfg, n_frames=n_frames) if cfg.use_fpn else CRNN(cfg)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from bsed_tpu.models.init import bn_scale_init, normal_init, xavier_uniform_gain
@@ -51,6 +52,42 @@ def activation_layer(name: str, features: int):
     raise ValueError(f"unknown activation {name}")
 
 
+class SmallChannelConv3x3(nn.Module):
+    """3×3 same-padding conv computed as 9 shifted channel-matmul
+    accumulations instead of lax.conv.
+
+    Measured in ISOLATION this beats XLA's conv lowering for ≤16 input
+    channels (6.7 ms → 2.9 ms for the 1→16 stem at (32,1255,128); 2e-6 max
+    abs difference). Measured in the FUSED end-to-end program it is ~10%
+    slower (XLA fuses conv+BN+GLU better around the native conv), so
+    ConvBlock keeps the native conv by default — this module stays for
+    standalone small-channel conv uses. Parameter names and shapes are
+    identical to nn.Conv ('kernel' (3,3,in,out), 'bias') so checkpoints are
+    interchangeable."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", xavier_uniform_gain(),
+                       (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, wdt = x.shape[1], x.shape[2]
+        out = None
+        for dt in range(3):
+            for df in range(3):
+                xs = jax.lax.slice(
+                    xp, (0, dt, df, 0),
+                    (x.shape[0], dt + h, df + wdt, cin))
+                contrib = jnp.einsum(
+                    "bhwc,co->bhwo", xs, w[dt, df],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                out = contrib if out is None else out + contrib
+        return out + b
+
+
 class ConvBlock(nn.Module):
     """conv3x3(s1,p1) → BatchNorm(eps 1e-3, torch momentum 0.99) → activation
     → dropout → avg-pool, one block of the 7-block stack (CNN.py:43-67)."""
@@ -60,12 +97,17 @@ class ConvBlock(nn.Module):
     dropout: float = 0.5
     kernel: int = 3
 
+    use_shift_conv: bool = False   # see SmallChannelConv3x3 docstring
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), strides=(1, 1),
-                    padding=((1, 1), (1, 1)),
-                    kernel_init=xavier_uniform_gain(),
-                    name="conv")(x)
+        if self.use_shift_conv and self.kernel == 3 and x.shape[-1] <= 16:
+            x = SmallChannelConv3x3(self.features, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(1, 1), padding=((1, 1), (1, 1)),
+                        kernel_init=xavier_uniform_gain(),
+                        name="conv")(x)
         # torch momentum 0.99 → flax momentum 0.01 (flax: ra = m*ra + (1-m)*b)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
                          epsilon=1e-3, scale_init=bn_scale_init,
