@@ -21,7 +21,7 @@ CLIP_SAMPLES = 320000   # 10 s @ 32 kHz
 N_MELS = 128
 
 
-def bench_tpu(batch_size: int = 32, iters: int = 10) -> float:
+def bench_tpu(batch_size: int = 64, iters: int = 10) -> float:
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
