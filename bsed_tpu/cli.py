@@ -203,7 +203,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except KeyError as e:
+        from bsed_tpu.config import PRESETS
+        if str(e).strip("'") in getattr(args, "preset", ""):
+            sys.exit(f"error: unknown preset {e}; available: "
+                     f"{', '.join(sorted(PRESETS))}")
+        raise
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
 
 
 if __name__ == "__main__":
