@@ -80,6 +80,10 @@ class DAConfig:
     """Domain-adaptation settings (src/DA/, main_* adaptation stages)."""
     mode: str = "none"                # none | dann | cdan | cdan_frame | adda
     level: str = "frame"              # clip | frame
+    # True: domain loss is added to the main loss and one backward updates
+    # model + discriminator together (main_scmt_ada_weak.py:527-528,569-574);
+    # False: separate discriminator pre-step (main_baseline.py:314-335)
+    joint_backward: bool = False
     entropy_conditioning: bool = False
     randomized_dim: int = 8192        # config.py:89 (cdan random projection)
     adv_weight: float = 1.0           # main_baseline.py:306 (scmt uses 2.5/5)
@@ -236,24 +240,27 @@ PRESETS = {
                           train={"mean_teacher": True, "pseudo_labels": True,
                                  "optimizer": "sgd"},
                           da={"mode": "cdan", "level": "clip",
+                              "joint_backward": True,
                               "randomized_dim": 8192}),
     # main_sct_ada_weak.py: SCT-only (no MT) + DANN, SGD.
     "sct_ada_weak": _cfg("sct_ada_weak",
                          train={"isp": True, "pseudo_labels": True,
                                 "optimizer": "sgd"},
-                         da={"mode": "dann"}),
+                         da={"mode": "dann", "joint_backward": True}),
     # main_scmt_ada_weak_seperate.py: stage-2 resume with discriminator re-init.
     "scmt_ada_weak_separate": _cfg("scmt_ada_weak_separate",
                                    train={"mean_teacher": True,
                                           "pseudo_labels": True,
                                           "optimizer": "sgd",
                                           "stage": "adaptation"},
-                                   da={"mode": "cdan", "level": "clip"}),
+                                   da={"mode": "cdan", "level": "clip",
+                                       "joint_backward": True}),
     # pseudo_labeling_main.py: CDAN with entropy conditioning; best on weak F1.
     "pseudo_labeling": _cfg("pseudo_labeling",
                             train={"mean_teacher": True, "pseudo_labels": True,
                                    "best_metric": "weak_f1"},
-                            da={"mode": "cdan", "entropy_conditioning": True}),
+                            da={"mode": "cdan", "entropy_conditioning": True,
+                                "joint_backward": True}),
 }
 
 

@@ -70,11 +70,16 @@ class _ClipConvStack(nn.Module):
                              epsilon=1e-5, scale_init=bn_scale_init,
                              name=f"bn_{i + 1}")(x)
             x = nn.leaky_relu(x, 0.2)
-        # adaptive avg-pool to (2, 1) over the spatial dims
+        # adaptive avg-pool to (2, 1): torch AdaptiveAvgPool2d segments are
+        # rows [floor(i*h/2), ceil((i+1)*h/2)) — they overlap for odd h
+        # (the real operating shape ends at h=7)
         b, h, w, c = x.shape
-        # split H into 2 halves (torch AdaptiveAvgPool2d((2,1)) semantics for
-        # even h; for odd h the reference's operating shapes are even)
-        x = x.reshape(b, 2, h // 2, w, c).mean(axis=(2, 3))   # (B, 2, C)
+        rows = []
+        for i in range(2):
+            a = (i * h) // 2
+            z = -(-((i + 1) * h) // 2)
+            rows.append(x[:, a:z].mean(axis=(1, 2)))          # (B, C)
+        x = jnp.stack(rows, axis=1)                           # (B, 2, C)
         return x.reshape(b, 2 * c)                            # (B, 16)
 
 

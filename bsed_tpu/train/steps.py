@@ -99,7 +99,8 @@ def build_modules(cfg: Config) -> TrainModules:
     predictor = Predictor(nclass=cfg.nclass, attention=cfg.model.attention)
     disc = _make_discriminator(cfg)
     rand_maps = None
-    if cfg.da.mode == "cdan" and cfg.da.randomized_dim > 0:
+    if (cfg.da.mode == "cdan" and cfg.da.level != "clip"
+            and cfg.da.randomized_dim > 0):
         feat_dim = 2 * cfg.model.n_rnn_cell * cfg.n_frames
         rand_maps = da_losses.make_randomized_maps(
             feat_dim, cfg.nclass, cfg.da.randomized_dim, seed=cfg.train.seed)
@@ -210,6 +211,31 @@ def make_train_step(modules: TrainModules) -> Callable:
         r_strong, r_weak, r_enc, stats = model_fwd(params, stats, x_real, k2)
         return syn_strong, syn_weak, syn_enc, r_strong, r_weak, r_enc, stats
 
+    def _grl_domain_loss(dapply, syn_s, syn_f, r_s, r_f, grl_coeff):
+        """Dispatch the configured GRL-based domain loss flavor."""
+        if da_mode == "cdan_frame":
+            return da_losses.cdan_frame_loss(dapply, syn_s, syn_f, r_s,
+                                             r_f, grl_coeff)
+        if da_mode == "cdan":
+            if cfg.da.level == "clip":
+                # Clip_Discriminator consumes the gradient-reversed full
+                # (B, T, 256) encoding with clip-level labels
+                # (main_scmt_ada_weak.py:331 wiring)
+                return da_losses.cdan_frame_loss(dapply, syn_s, syn_f,
+                                                 r_s, r_f, grl_coeff)
+            fs = syn_f.reshape(syn_f.shape[0], -1)
+            ft = r_f.reshape(r_f.shape[0], -1)
+            rf, rg = modules.rand_maps
+            gs = syn_s.max(axis=1)
+            gt = r_s.max(axis=1)
+            return da_losses.cdan_loss(dapply, gs, fs, gt, ft, rf, rg,
+                                       cfg.da.entropy_conditioning,
+                                       grl_coeff)
+        # dann
+        fs = syn_f.reshape(syn_f.shape[0], -1)
+        ft = r_f.reshape(r_f.shape[0], -1)
+        return da_losses.dann_loss(dapply, fs, ft, grl_coeff)
+
     def grl_pre_step(state: TrainState, x_syn, x_real, key):
         """GRL-based discriminator pre-step (main_baseline.py:314-335):
         one backward through the reversed discriminator loss updates both
@@ -227,26 +253,7 @@ def make_train_step(modules: TrainModules) -> Callable:
                                        x_real, k_fwd)
             dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
                                    k_disc)
-            if da_mode == "cdan_frame":
-                dl = da_losses.cdan_frame_loss(dapply, syn_s, syn_f, r_s,
-                                               r_f, grl_coeff)
-            elif da_mode == "cdan":
-                fs = syn_f.reshape(syn_f.shape[0], -1)
-                ft = r_f.reshape(r_f.shape[0], -1)
-                if cfg.da.level == "clip" and modules.rand_maps is None:
-                    dl = da_losses.cdan_frame_loss(dapply, syn_s, syn_f,
-                                                   r_s, r_f, grl_coeff)
-                else:
-                    rf, rg = modules.rand_maps
-                    gs = syn_s.max(axis=1)
-                    gt = r_s.max(axis=1)
-                    dl = da_losses.cdan_loss(dapply, gs, fs, gt, ft, rf, rg,
-                                             cfg.da.entropy_conditioning,
-                                             grl_coeff)
-            else:  # dann
-                fs = syn_f.reshape(syn_f.shape[0], -1)
-                ft = r_f.reshape(r_f.shape[0], -1)
-                dl = da_losses.dann_loss(dapply, fs, ft, grl_coeff)
+            dl = _grl_domain_loss(dapply, syn_s, syn_f, r_s, r_f, grl_coeff)
             return dl, stats
 
         (dl, new_stats), (g_enc, g_disc) = jax.value_and_grad(
@@ -344,7 +351,9 @@ def make_train_step(modules: TrainModules) -> Callable:
                                            "consistency_cost": cost}
 
         # ---- domain-adaptation updates that precede the main step
-        if da_mode in ("dann", "cdan", "cdan_frame"):
+        joint_da = (cfg.da.joint_backward
+                    and da_mode in ("dann", "cdan", "cdan_frame"))
+        if da_mode in ("dann", "cdan", "cdan_frame") and not joint_da:
             state, dl = grl_pre_step(state, x_syn, x_real, k_da)
             metrics["domain_loss"] = dl
         elif da_mode == "adda":
@@ -389,14 +398,14 @@ def make_train_step(modules: TrainModules) -> Callable:
                 teacher["strong_freq"], teacher["weak_freq"] = sg(ts), sg(tw)
 
         # ---- main loss
-        def loss_fn(params):
+        def loss_fn(params, disc_params=None):
             m: Dict[str, jnp.ndarray] = {}
             stats = state.batch_stats
-            syn_strong, syn_weak, _, stats = model_fwd(params, stats, x_syn,
-                                                       k_s1)
+            syn_strong, syn_weak, syn_enc, stats = model_fwd(params, stats,
+                                                             x_syn, k_s1)
             if x_real is not None:
-                r_strong, r_weak, _, stats = model_fwd(params, stats, x_real,
-                                                       k_s2)
+                r_strong, r_weak, r_enc, stats = model_fwd(params, stats,
+                                                           x_real, k_s2)
 
             # supervised BCE (main_baseline.py:431-475 / _ena variant)
             if t.supervise_on == "real" and real_strong_target is not None:
@@ -465,11 +474,36 @@ def make_train_step(modules: TrainModules) -> Callable:
                 m["mixup_strong_loss"] = mix_loss
                 loss = loss + mix_loss
 
+            if joint_da:
+                # domain loss from the MAIN forward's features, added to
+                # the combined loss (main_scmt_ada_weak.py:312-331,527-528)
+                grl_coeff = warm_start_lambda(
+                    state.step, cfg.da.grl_alpha, cfg.da.grl_lo,
+                    cfg.da.grl_hi, cfg.da.grl_max_iters)
+                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
+                                       k_da)
+                dl = _grl_domain_loss(dapply, syn_strong, syn_enc,
+                                      r_strong, r_enc, grl_coeff)
+                m["domain_loss"] = dl
+                loss = loss + cfg.da.adv_weight * dl
+
             m["loss"] = loss
             return loss, (stats, m)
 
-        (loss, (new_stats, loss_metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if joint_da:
+            # single combined backward updating model AND discriminator
+            (loss, (new_stats, loss_metrics)), (grads, disc_grads) = \
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.disc_params)
+            disc_updates, new_disc_opt = modules.disc_optimizer.update(
+                disc_grads, state.disc_opt_state, state.disc_params)
+            state = state.replace(
+                disc_params=optax.apply_updates(state.disc_params,
+                                                disc_updates),
+                disc_opt_state=new_disc_opt)
+        else:
+            (loss, (new_stats, loss_metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         metrics.update(loss_metrics)
 
         updates, new_opt_state = modules.optimizer.update(
