@@ -95,3 +95,53 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
             return strong, weak
 
     return forward
+
+
+def predict_long_recording(forward: Callable, audio, cfg: Config,
+                           batch_size: int = 32, hop_seconds: float = None):
+    """Sound-event inference over an arbitrarily long recording.
+
+    The reference handles long ENA field recordings offline by chopping
+    into fixed 10 s windows (preprocess.py:196) — here the same windowing
+    runs at inference time: the recording is segmented into clip windows
+    (optionally overlapping), batched through the jitted ``forward``, and
+    the frame posteriors are re-assembled on a global timeline (overlaps
+    averaged). Returns (strong (T_total, C), frame_seconds).
+    """
+    import numpy as np
+
+    sr = cfg.audio.sr
+    clip = cfg.audio.n_samples
+    hop = int((hop_seconds or cfg.audio.max_len_seconds) * sr)
+    audio = np.asarray(audio, np.float32)
+    if len(audio) < clip:
+        audio = np.pad(audio, (0, clip - len(audio)))
+    starts = list(range(0, max(len(audio) - clip, 0) + 1, hop))
+    if starts[-1] + clip < len(audio):
+        starts.append(len(audio) - clip)
+    windows = np.stack([audio[s:s + clip] for s in starts])
+
+    frames_per_clip = cfg.n_frames
+    sec_per_frame = cfg.model.pooling_time_ratio / (sr / cfg.audio.hop_size)
+    total_frames = int(np.ceil(
+        (starts[-1] / sr) / sec_per_frame)) + frames_per_clip
+    acc = np.zeros((total_frames, cfg.nclass), np.float64)
+    cnt = np.zeros((total_frames, 1), np.float64)
+
+    for i in range(0, len(windows), batch_size):
+        chunk = windows[i:i + batch_size]
+        pad = 0
+        if len(chunk) < batch_size and len(windows) > batch_size:
+            pad = batch_size - len(chunk)
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        strong, _ = forward(jnp.asarray(chunk))
+        strong = np.asarray(strong)
+        if pad:
+            strong = strong[:-pad]
+        for j, s in enumerate(starts[i:i + len(strong)]):
+            f0 = int(round((s / sr) / sec_per_frame))
+            acc[f0:f0 + frames_per_clip] += strong[j]
+            cnt[f0:f0 + frames_per_clip] += 1.0
+    mask = cnt[:, 0] > 0
+    acc[mask] /= cnt[mask]
+    return acc[mask].astype(np.float32), sec_per_frame

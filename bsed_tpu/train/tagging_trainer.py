@@ -41,8 +41,12 @@ def build_tagger(cfg: Config, arch: str = "resnet"):
 
 class TaggingTrainer:
     def __init__(self, cfg: Config, arch: str = "resnet",
-                 learning_rate: float = 1e-3):
+                 learning_rate: float = 1e-3, mean_teacher: bool = False):
+        """``mean_teacher=True`` enables the audio_tagging_system.py variant
+        (the cnn trainer keeps the same scaffold without the EMA twin):
+        EMA teacher on SNR-noised inputs + MSE consistency on weak preds."""
         self.cfg = cfg
+        self.mean_teacher = mean_teacher
         self.model = build_tagger(cfg, arch)
         self.log = create_logger(f"bsed_tpu/tagger-{arch}")
         self.optimizer = optax.adam(learning_rate)
@@ -53,16 +57,40 @@ class TaggingTrainer:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.optimizer.init(self.params)
+        self.ema_params = (jax.tree.map(jnp.copy, self.params)
+                           if mean_teacher else None)
+        self.ema_batch_stats = (jax.tree.map(jnp.copy, self.batch_stats)
+                                if mean_teacher else None)
+        self.step_count = 0
         self.saver = SaveBest("sup")
         self._step = jax.jit(self._train_step)
         self._infer = jax.jit(self._predict)
 
-    def _train_step(self, params, batch_stats, opt_state, batch, rng):
+    def _train_step(self, params, batch_stats, opt_state, batch, rng,
+                    ema_params=None, ema_stats=None, step=0):
+        from bsed_tpu.ops.augment import gaussian_snr_noise
+        from bsed_tpu.train.ema import ema_update
+
+        k_noise, k_drop = jax.random.split(rng)
+
+        teacher_pred = None
+        new_ema_stats = ema_stats
+        if self.mean_teacher and ema_params is not None:
+            noisy = gaussian_snr_noise(k_noise, batch["real"],
+                                       self.cfg.audio.noise_snr)
+            x_t = amplitude_to_db(noisy)[..., None]
+            out = self.model.apply(
+                {"params": ema_params, "batch_stats": ema_stats}, x_t,
+                train=True, rngs={"dropout": k_noise},
+                mutable=["batch_stats"])
+            teacher_pred = jax.lax.stop_gradient(out[0])
+            new_ema_stats = out[1]["batch_stats"]
+
         def loss_fn(p):
             def fwd(stats, x):
                 out, mut = self.model.apply(
                     {"params": p, "batch_stats": stats}, x, train=True,
-                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                    rngs={"dropout": k_drop}, mutable=["batch_stats"])
                 return out, mut["batch_stats"]
             x_syn = amplitude_to_db(batch["syn"])[..., None]
             pred_syn, stats = fwd(batch_stats, x_syn)
@@ -74,11 +102,22 @@ class TaggingTrainer:
                 # real weak BCE on the labeled half (cnn trainer :367)
                 loss = loss + bce(pred_real[:half],
                                   batch["real_weak"][:half])
+                if teacher_pred is not None:
+                    loss = loss + jnp.mean(
+                        jnp.square(pred_real - teacher_pred))
             return loss, stats
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, new_opt = self.optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+        new_params = optax.apply_updates(params, updates)
+        new_ema = ema_params
+        if self.mean_teacher and ema_params is not None:
+            new_ema = ema_update(ema_params, new_params, step + 1,
+                                 self.cfg.train.ema_alpha)
+            new_ema_stats = ema_update(new_ema_stats, new_stats, step + 1,
+                                       self.cfg.train.ema_alpha)
+        return (new_params, new_stats, new_opt, loss, new_ema,
+                new_ema_stats)
 
     def _predict(self, params, batch_stats, mel):
         x = amplitude_to_db(mel)[..., None]
@@ -99,8 +138,12 @@ class TaggingTrainer:
             if "real" in batch:
                 b["real"] = jnp.asarray(batch["real"])
                 b["real_weak"] = jnp.asarray(batch["real_weak"])
-            self.params, self.batch_stats, self.opt_state, loss = self._step(
-                self.params, self.batch_stats, self.opt_state, b, k)
+            (self.params, self.batch_stats, self.opt_state, loss,
+             self.ema_params, self.ema_batch_stats) = self._step(
+                self.params, self.batch_stats, self.opt_state, b, k,
+                self.ema_params, self.ema_batch_stats,
+                jnp.asarray(self.step_count))
+            self.step_count += 1
             meters.update("loss", float(loss))
         self.log.info("tagger epoch %d: %s", epoch, meters)
         return meters.averages()["loss"]

@@ -211,3 +211,25 @@ def test_cli_parser_covers_reference_flags():
     assert args.stage == "adaptation" and args.level == "frame"
     args = p.parse_args(["synthesize", "--co-occur", "x.json", "--out", "y"])
     assert args.n_soundscapes == 100
+
+
+def test_tagging_trainer_mean_teacher_variant():
+    """audio_tagging_system.py capability: MT scaffold for the weak tagger."""
+    import numpy as np
+    from bsed_tpu.data.datasets import SyntheticDataSource
+    from bsed_tpu.data.pipeline import ThreeStreamLoader
+    from bsed_tpu.train.tagging_trainer import TaggingTrainer
+
+    cfg = small_cfg()
+    syn = SyntheticDataSource(cfg, n_items=8, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=4, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=4, seed=3)
+    loader = ThreeStreamLoader(syn, weak, unlab, batch_size=4)
+    trainer = TaggingTrainer(cfg, arch="resnet", mean_teacher=True)
+    import jax
+    ema0 = jax.tree.map(lambda x: x.copy(), trainer.ema_params)
+    loss = trainer.train_epoch(loader.epoch(0), 0)
+    assert np.isfinite(loss)
+    moved = max(float(abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(ema0), jax.tree.leaves(trainer.ema_params)))
+    assert moved > 0
