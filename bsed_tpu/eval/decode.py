@@ -76,6 +76,29 @@ def merge_prediction_dfs(dfs: Sequence[Dict[float, pd.DataFrame]]
     return out
 
 
+def save_prediction_dfs(dfs, base_path: str) -> list:
+    """Per-threshold prediction TSV dump (evaluation_measures.py:250-270):
+    one file per threshold named <base>/<threshold:.3f>.tsv (single
+    threshold: <base>.tsv)."""
+    import os
+
+    thresholds = list(dfs)
+    paths = []
+    if len(thresholds) == 1:
+        paths = [base_path if base_path.endswith(".tsv")
+                 else base_path + ".tsv"]
+    else:
+        base, _ = os.path.splitext(base_path)
+        os.makedirs(base, exist_ok=True)
+        paths = [os.path.join(base, f"{th:.3f}.tsv") for th in thresholds]
+    for th, path in zip(thresholds, paths):
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        dfs[th].to_csv(path, index=False, sep="\t", float_format="%.3f")
+    return paths
+
+
 def groundtruth_df_from_events(
     per_file_events: Dict[str, Sequence[Tuple[str, float, float]]]
 ) -> pd.DataFrame:

@@ -142,6 +142,21 @@ class PSDSResult:
     etpr: np.ndarray
 
 
+def psds_score_report(operating_points: Sequence[OperatingPointCounts],
+                      total_duration_s: float) -> Dict[str, float]:
+    """The reference's three headline PSDS variants
+    (evaluation_measures.py:294-303): (α_ct, α_st) = (0,0), (1,0), (0,1),
+    all at max_efpr=100."""
+    out = {}
+    for name, a_ct, a_st in (("psds_ct0_st0", 0.0, 0.0),
+                             ("psds_ct1_st0", 1.0, 0.0),
+                             ("psds_ct0_st1", 0.0, 1.0)):
+        out[name] = compute_psds(operating_points, total_duration_s,
+                                 alpha_ct=a_ct, alpha_st=a_st,
+                                 max_efpr=100.0).value
+    return out
+
+
 def compute_psds(
     operating_points: Sequence[OperatingPointCounts],
     total_duration_s: float,

@@ -157,3 +157,36 @@ def test_tagging_accumulator():
 def test_durations_df():
     df = durations_df(["a", "b", "a"])
     assert len(df) == 2 and (df.duration == 10.0).all()
+
+
+def test_operating_point_sweep_and_psds_report():
+    from bsed_tpu.config import get_config
+    from bsed_tpu.eval.operating_points import (default_thresholds,
+                                                sweep_operating_points)
+
+    cfg = get_config()
+    b, t, c = 2, 313, cfg.nclass
+    probs = np.zeros((b, t, c), dtype=np.float32)
+    probs[0, 100:150, 3] = 0.9     # strong confident event
+    probs[1, 40:90, 5] = 0.55      # weaker event, drops out at high thresholds
+    gt = pd.DataFrame({
+        "event_label": [cfg.bird_list[3], cfg.bird_list[5]],
+        "onset": [100 * 0.031875, 40 * 0.031875],
+        "offset": [150 * 0.031875, 90 * 0.031875],
+        "filename": ["clipA", "clipB"],
+    })
+    batches = [(probs, ["clipA", "clipB"])]
+    res = sweep_operating_points(batches, cfg, gt,
+                                 thresholds=[0.25, 0.5, 0.7, 0.95])
+    assert len(res["operating_points"]) == 4
+    # low threshold detects both events; 0.7 only the confident one
+    tp_low = res["operating_points"][0].tp.sum()
+    tp_hi = res["operating_points"][2].tp.sum()
+    assert tp_low == 2 and tp_hi == 1
+    psds = res["psds"]
+    assert set(psds) == {"psds_ct0_st0", "psds_ct1_st0", "psds_ct0_st1"}
+    assert 0.0 < psds["psds_ct0_st0"] <= 1.0
+    # cross-trigger and inter-class variance penalties can only lower it
+    assert psds["psds_ct1_st0"] <= psds["psds_ct0_st0"] + 1e-9
+    assert psds["psds_ct0_st1"] <= psds["psds_ct0_st0"] + 1e-9
+    assert len(default_thresholds()) == 50
