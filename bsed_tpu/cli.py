@@ -25,6 +25,9 @@ def _apply_flags(cfg, args):
                                 if args.use_fpn else cfg.model.use_fpn)
     train = cfg.train
     if args.meanteacher or args.isp:
+        # reference semantics: -ISP implies the mean teacher
+        # (main_baseline.py:637-639); SCT-only training is available via
+        # the sct_ada_weak preset rather than flags
         train = dataclasses.replace(train, mean_teacher=True,
                                     isp=args.isp or train.isp)
     if args.stage:

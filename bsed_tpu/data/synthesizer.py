@@ -246,10 +246,11 @@ def syn_preprocess(generated_dir: str, out_dir: str, cfg: Config,
     n_samples = int(cfg.audio.max_len_seconds * cfg.audio.sr)
     for start in range(0, len(wavs), batch_size):
         chunk = wavs[start:start + batch_size]
-        audio = np.stack([
-            np.pad(read_wav(p, cfg.audio.sr)[:n_samples],
-                   (0, max(0, n_samples - len(read_wav(p, cfg.audio.sr)))))
-            [:n_samples] for p in chunk])
+        clips = []
+        for p in chunk:
+            a = read_wav(p, cfg.audio.sr)[:n_samples]
+            clips.append(np.pad(a, (0, n_samples - len(a))))
+        audio = np.stack(clips)
         from bsed_tpu.data.datasets import pad_or_trunc
         mels = pad_or_trunc(np.asarray(fe(audio)), cfg.audio.max_frames)
         for j, p in enumerate(chunk):

@@ -33,19 +33,29 @@ def sweep_operating_points(
     dtc_threshold: float = 0.5,
     gtc_threshold: float = 0.5,
     cttc_threshold: float = 0.3,
+    total_duration_s: float = None,
 ) -> Dict:
     """predict_batches yields (strong_probs (B,T,C), filenames). Returns
-    {'operating_points': [...], 'psds': {...}, 'per_threshold_f1': {...}}.
+    {'operating_points': [...], 'psds': {...}, 'predictions': {...}}.
+
+    Classes cover the FULL label set (cfg.bird_list) so false positives of
+    classes absent from the ground truth are counted; dataset duration is
+    derived from the number of EVALUATED clips (including event-free ones),
+    overridable via ``total_duration_s``.
     """
     thresholds = list(thresholds or default_thresholds())
-    per_batch = [decode_batch(probs, names, cfg.bird_list, cfg,
-                              thresholds=thresholds)
-                 for probs, names in predict_batches]
+    per_batch = []
+    eval_files = set()
+    for probs, names in predict_batches:
+        per_batch.append(decode_batch(probs, names, cfg.bird_list, cfg,
+                                      thresholds=thresholds))
+        eval_files.update(names)
     merged = merge_prediction_dfs(per_batch)
 
-    classes = sorted(set(ground_truth["event_label"].dropna()))
-    n_files = ground_truth["filename"].nunique() or 1
-    total_duration = n_files * cfg.audio.max_len_seconds
+    classes = list(cfg.bird_list)
+    n_files = len(eval_files) or ground_truth["filename"].nunique() or 1
+    total_duration = (total_duration_s if total_duration_s is not None
+                      else n_files * cfg.audio.max_len_seconds)
 
     ops: List[OperatingPointCounts] = []
     for th in thresholds:

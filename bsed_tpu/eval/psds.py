@@ -186,13 +186,17 @@ def compute_psds(
         e_tpr = float(np.mean(tpr) - alpha_st * np.std(tpr))
         pts.append((e_fpr, max(0.0, e_tpr)))
 
+    # operating points beyond max_efpr are inadmissible: their TPR must not
+    # be carried into the integration range (it is only achieved at an
+    # eFPR the metric excludes)
+    pts = [(x, y) for x, y in pts if x <= max_efpr]
     pts.sort()
     # monotone non-decreasing upper envelope (ROC-style)
     xs, ys = [0.0], [0.0]
     best = 0.0
     for x, y in pts:
         best = max(best, y)
-        xs.append(min(x, max_efpr))
+        xs.append(x)
         ys.append(best)
     xs.append(max_efpr)
     ys.append(best)

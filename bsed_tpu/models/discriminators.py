@@ -23,20 +23,28 @@ from bsed_tpu.ops.grl import grad_reverse
 
 
 class FrameDiscriminatorGRL(nn.Module):
-    """input_dim → 1024 → 1024 → 2, ReLU+dropout, sigmoid output, gradient
-    reversed at the input (CRNN.py:91-112)."""
+    """input_dim → 1024 → 1024 → n_out, ReLU+dropout, sigmoid output,
+    optional gradient reversal at the input (CRNN.py:91-112).
+
+    ``apply_grl=False`` when the surrounding loss applies its own
+    grad_reverse (DANN/CDAN) or uses explicit alternating updates (ADDA) —
+    stacking two reversals would cancel and invert the adversarial
+    objective."""
     dropout: float = 0.5
+    n_out: int = 2
+    apply_grl: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, grl_coeff: float = 1.0):
-        x = grad_reverse(x, grl_coeff)
+        if self.apply_grl:
+            x = grad_reverse(x, grl_coeff)
         x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
                              name="dense_d_1")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
                              name="dense_d_2")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.sigmoid(nn.Dense(2, kernel_init=normal_init(0.01),
+        return nn.sigmoid(nn.Dense(self.n_out, kernel_init=normal_init(0.01),
                                    name="dense_d_3")(x))
 
 

@@ -78,19 +78,32 @@ def _base_optimizer(cfg: Config):
         learning_rate=t.max_learning_rate)
 
 
+def _effective_da_mode(cfg: Config) -> str:
+    """DA is active only in the adaptation stage (the reference builds no
+    discriminator in pretrain — main_baseline.py:789-799,
+    main_scmt.py:864)."""
+    return cfg.da.mode if cfg.train.stage == "adaptation" else "none"
+
+
 def _make_discriminator(cfg: Config):
-    mode, level = cfg.da.mode, cfg.da.level
+    mode, level = _effective_da_mode(cfg), cfg.da.level
     if mode == "none":
         return None
     if mode == "adda":
-        return FrameDiscriminatorGRL(dropout=0.5)      # 2-unit sigmoid MLP
+        # 2-unit MLP matching the reference's (…, 2) domain labels; the
+        # reference's internal GRL would invert the explicit alternating
+        # updates, so it stays off here
+        return FrameDiscriminatorGRL(dropout=0.5, n_out=2, apply_grl=False)
     if mode == "cdan_frame":
         return FrameDiscriminator(dropout=0.5)         # per-frame 1-unit
     if mode == "cdan":
-        return (ClipDiscriminator() if level == "clip"
-                else FrameDiscriminatorGRL(dropout=0.5))
+        if level == "clip":
+            return ClipDiscriminator()
+        # 1-unit MLP over the (randomized) multilinear map; the loss
+        # applies grad_reverse itself
+        return FrameDiscriminatorGRL(dropout=0.5, n_out=1, apply_grl=False)
     if mode == "dann":
-        return FrameDiscriminatorGRL(dropout=0.5)
+        return FrameDiscriminatorGRL(dropout=0.5, n_out=1, apply_grl=False)
     raise ValueError(mode)
 
 
@@ -99,7 +112,7 @@ def build_modules(cfg: Config) -> TrainModules:
     predictor = Predictor(nclass=cfg.nclass, attention=cfg.model.attention)
     disc = _make_discriminator(cfg)
     rand_maps = None
-    if (cfg.da.mode == "cdan" and cfg.da.level != "clip"
+    if (_effective_da_mode(cfg) == "cdan" and cfg.da.level != "clip"
             and cfg.da.randomized_dim > 0):
         feat_dim = 2 * cfg.model.n_rnn_cell * cfg.n_frames
         rand_maps = da_losses.make_randomized_maps(
@@ -178,8 +191,7 @@ def make_train_step(modules: TrainModules) -> Callable:
     mean_teacher = t.mean_teacher
     isp = t.isp
     use_mixup = t.mixup
-    da_mode = cfg.da.mode if t.stage == "adaptation" or cfg.da.mode == "adda" \
-        else "none"
+    da_mode = _effective_da_mode(cfg)
 
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
@@ -284,10 +296,8 @@ def make_train_step(modules: TrainModules) -> Callable:
         def run(state):
             # --- discriminator step on detached features
             def d_loss_fn(disc_params):
-                _, _, _, _, _, r_f, stats = _domain_features(
+                _, _, syn_f, _, _, r_f, stats = _domain_features(
                     state.params, state.batch_stats, x_syn, x_real, k_fwd1)
-                _, _, syn_f, _, _, _, stats2 = _domain_features(
-                    state.params, stats, x_syn, x_real, k_fwd1)
                 dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
                                        k_d)
                 return da_losses.adda_discriminator_loss(

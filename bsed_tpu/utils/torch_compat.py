@@ -91,7 +91,6 @@ def convert_cnn(state: Mapping[str, np.ndarray], prefix: str,
         bn_p, bn_s = convert_bn(state, f"{prefix}batchnorm{i}.")
         block["bn"], block_stats["bn"] = bn_p, bn_s
         if act in ("glu", "cg"):
-            block[act if act == "cg" else "GLU_0"] = {}
             lin = convert_dense(state[f"{prefix}{act}{i}.linear.weight"],
                                 state[f"{prefix}{act}{i}.linear.bias"])
             # activation module name inside ConvBlock is anonymous; flax

@@ -111,10 +111,65 @@ def test_adaptation_grl_pre_step_runs():
 
 
 def test_adda_alternating_runs():
+    import dataclasses
     cfg = small_cfg("scmt")
+    # ADDA (like all DA) is active only in the adaptation stage
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                stage="adaptation"))
     state, metrics = run_steps(cfg, n=2)
     assert "domain_loss" in metrics
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_adda_inactive_in_pretrain():
+    cfg = small_cfg("scmt")
+    assert cfg.train.stage == "pretrain"
+    state, metrics = run_steps(cfg, n=1)
+    assert "domain_loss" not in metrics
+
+
+def test_cdan_entropy_conditioning_runs():
+    import dataclasses
+    cfg = small_cfg("pseudo_labeling")
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                stage="adaptation"))
+    assert cfg.da.entropy_conditioning
+    state, metrics = run_steps(cfg, n=1)
+    assert np.isfinite(float(metrics["domain_loss"]))
+
+
+def test_grl_single_reversal_in_dann():
+    """The encoder gradient through dann_loss must be REVERSED exactly once
+    (a second internal discriminator GRL would cancel it and invert the
+    adversarial objective)."""
+    import jax
+    from bsed_tpu.models.discriminators import FrameDiscriminatorGRL
+    from bsed_tpu.train.da import dann_loss
+
+    disc = FrameDiscriminatorGRL(n_out=1, apply_grl=False)
+    f = jnp.ones((2, 8))
+    params = disc.init({"params": jax.random.key(0)}, f, train=False)
+
+    def apply(h):
+        return disc.apply(params, h, train=False)
+
+    def loss_rev(fs, ft):
+        return dann_loss(apply, fs, ft, grl_coeff=1.0)
+
+    def loss_fwd(fs, ft):
+        # same BCE without the GRL
+        import jax.numpy as jnp2
+        from bsed_tpu.train.losses import bce
+        d = apply(jnp2.concatenate([fs, ft], 0))
+        labels = jnp2.concatenate([jnp2.ones((2, 1)), jnp2.zeros((2, 1))])
+        return bce(d, labels)
+
+    fs = jnp.ones((2, 8)) * 0.3
+    ft = jnp.ones((2, 8)) * 0.7
+    g_rev = jax.grad(loss_rev)(fs, ft)
+    g_fwd = jax.grad(loss_fwd)(fs, ft)
+    np.testing.assert_allclose(np.asarray(g_rev), -np.asarray(g_fwd),
+                               atol=1e-7)
 
 
 def test_sgd_preset_and_pseudo_labels():
