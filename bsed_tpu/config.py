@@ -66,6 +66,10 @@ class ModelConfig:
     dropout_recurrent: float = 0.0
     attention: bool = True
     use_fpn: bool = False
+    # conv-stack computation dtype: "float32" (reference parity, default) or
+    # "bfloat16" (~1.6x faster conv stack on v5e; ~1e-2 activation error —
+    # fine for training/serving throughput, not for the 1e-3 parity gate)
+    compute_dtype: str = "float32"
 
     @property
     def pooling_time_ratio(self) -> int:

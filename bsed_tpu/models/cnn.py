@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from bsed_tpu.models.layers import ConvBlock
 
@@ -22,13 +23,15 @@ class CNN(nn.Module):
     activation: str = "glu"
     dropout: float = 0.5
     kernel: int = 3
+    dtype: object = None     # bf16 opt-in, see ConvBlock
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (f, p) in enumerate(zip(self.nb_filters, self.pooling)):
             x = ConvBlock(f, tuple(p), self.activation, self.dropout,
-                          self.kernel, name=f"block{i}")(x, train=train)
-        return x
+                          self.kernel, dtype=self.dtype,
+                          name=f"block{i}")(x, train=train)
+        return x.astype(jnp.float32)
 
 
 class CNNFPN(nn.Module):
@@ -46,14 +49,18 @@ class CNNFPN(nn.Module):
     activation: str = "glu"
     dropout: float = 0.5
     kernel: int = 3
+    dtype: object = None     # bf16 opt-in, see ConvBlock
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (f, p) in enumerate(zip(self.nb_filters, self.pooling)):
             x = ConvBlock(f, tuple(p), self.activation, self.dropout,
-                          self.kernel, name=f"block{i}")(x, train=train)
+                          self.kernel, dtype=self.dtype,
+                          name=f"block{i}")(x, train=train)
         down = ConvBlock(self.nb_filters[-1], (2, 1), self.activation,
-                         self.dropout, self.kernel, name="block_down")
+                         self.dropout, self.kernel, dtype=self.dtype,
+                         name="block_down")
         x_2 = down(x, train=train)
         x_4 = down(x_2, train=train)
-        return x, x_2, x_4
+        return (x.astype(jnp.float32), x_2.astype(jnp.float32),
+                x_4.astype(jnp.float32))

@@ -30,10 +30,11 @@ from bsed_tpu.models.rnn import BidirectionalGRU
 
 
 def _cnn_kwargs(cfg: ModelConfig) -> dict:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     return dict(nb_filters=tuple(cfg.nb_filters),
                 pooling=tuple(tuple(p) for p in cfg.pooling),
                 activation=cfg.activation, dropout=cfg.dropout,
-                kernel=cfg.kernel_size)
+                kernel=cfg.kernel_size, dtype=dtype)
 
 
 class CRNN(nn.Module):

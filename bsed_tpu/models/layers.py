@@ -20,31 +20,33 @@ class GLU(nn.Module):
     """Gated linear unit variant used by the reference (CNN.py:5-16):
     ``Linear(x) * sigmoid(x)`` with the linear map over the channel axis."""
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         lin = nn.Dense(self.features, kernel_init=normal_init(0.01),
-                       name="linear")(x)
+                       dtype=self.dtype, name="linear")(x)
         return lin * nn.sigmoid(x)
 
 
 class ContextGating(nn.Module):
     """CNN.py:19-30: ``x * sigmoid(Linear(x))``."""
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         lin = nn.Dense(self.features, kernel_init=normal_init(0.01),
-                       name="linear")(x)
+                       dtype=self.dtype, name="linear")(x)
         return x * nn.sigmoid(lin)
 
 
-def activation_layer(name: str, features: int):
+def activation_layer(name: str, features: int, dtype=None):
     name = name.lower()
     if name == "glu":
-        return GLU(features)
+        return GLU(features, dtype=dtype)
     if name == "cg":
-        return ContextGating(features)
+        return ContextGating(features, dtype=dtype)
     if name == "relu":
         return nn.relu
     if name == "leakyrelu":
@@ -96,6 +98,11 @@ class ConvBlock(nn.Module):
     activation: str = "glu"
     dropout: float = 0.5
     kernel: int = 3
+    # computation dtype (params stay fp32): jnp.bfloat16 roughly halves the
+    # conv stack's time on v5e (measured 20.2 -> 12.4 ms at batch 32) at the
+    # cost of ~1e-2-level activation error — opt-in for serving/training
+    # throughput, NOT for the reference-parity path
+    dtype: object = None
 
     use_shift_conv: bool = False   # see SmallChannelConv3x3 docstring
 
@@ -107,12 +114,12 @@ class ConvBlock(nn.Module):
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(1, 1), padding=((1, 1), (1, 1)),
                         kernel_init=xavier_uniform_gain(),
-                        name="conv")(x)
+                        dtype=self.dtype, name="conv")(x)
         # torch momentum 0.99 → flax momentum 0.01 (flax: ra = m*ra + (1-m)*b)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
                          epsilon=1e-3, scale_init=bn_scale_init,
-                         name="bn")(x)
-        act = activation_layer(self.activation, self.features)
+                         dtype=self.dtype, name="bn")(x)
+        act = activation_layer(self.activation, self.features, self.dtype)
         x = act(x) if not isinstance(act, nn.Module) else act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if self.pooling != (1, 1):

@@ -115,3 +115,19 @@ def test_train_mode_runs_and_updates_batch_stats():
     old = variables["batch_stats"]["cnn"]["block0"]["bn"]["mean"]
     new = mutated["batch_stats"]["cnn"]["block0"]["bn"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_bf16_compute_dtype_close_to_fp32():
+    """compute_dtype='bfloat16' keeps params fp32 and produces encoder
+    outputs close to the fp32 path (throughput mode, not the parity path)."""
+    model32 = CRNN(SMALL)
+    model16 = CRNN(ModelConfig(compute_dtype="bfloat16"))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, T_IN, F_IN, 1)).astype(np.float32))
+    variables = model32.init({"params": jax.random.key(0),
+                              "dropout": jax.random.key(1)}, x, train=False)
+    out32, _ = model32.apply(variables, x, train=False)
+    out16, _ = model16.apply(variables, x, train=False)  # same fp32 params
+    assert out16.dtype == jnp.float32  # cast back after the conv stack
+    err = np.abs(np.asarray(out32) - np.asarray(out16))
+    assert err.max() < 0.1 and err.mean() < 0.01
