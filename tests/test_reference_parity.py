@@ -1,0 +1,124 @@
+"""Parity gate against the ACTUAL reference source.
+
+``tests/torch_ref.py`` is a fast hand-written mirror; any drift in it would
+silently weaken the 1e-3 gate. These tests retire that risk: they import the
+real torch classes from ``/root/reference/src/models`` (read-only mount),
+build them with the canonical kwargs (main_baseline.py:663-673), save a
+reference-format checkpoint, load it through ``load_torch_checkpoint`` (the
+full torch_compat contract incl. key layout), and assert frame/clip
+posteriors within 1e-3 on full (1255, 128) input — the BASELINE.md gate.
+
+Covered oracles:
+  * models/CRNN_GRL.py:142-204 CRNN + :430-460 Predictor (the live classes)
+  * models/CRNN.py:178-240 twin CRNN (checkpoint-compatible twin)
+  * models/CRNN_GRL.py:293-389 CRNN_fpn (weight-tied pyramid + upsample)
+"""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from bsed_tpu.config import get_config
+
+REF_SRC = "/root/reference/src"
+
+# canonical kwargs, main_baseline.py:663-673
+N_LAYERS = 7
+CRNN_KWARGS = {
+    "n_in_channel": 1, "nclass": 20, "attention": True, "n_RNN_cell": 128,
+    "n_layers_RNN": 2, "activation": "glu", "dropout": 0.5,
+    "kernel_size": N_LAYERS * [3], "padding": N_LAYERS * [1],
+    "stride": N_LAYERS * [1],
+    "nb_filters": [16, 32, 64, 128, 128, 128, 128],
+    "pooling": [[2, 2], [2, 2], [1, 2], [1, 2], [1, 2], [1, 2], [1, 2]],
+}
+PREDICTOR_KWARGS = {"nclass": 20, "attention": True, "n_RNN_cell": 128}
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the real reference model modules (they use intra-package
+    ``from models.X import`` absolute imports, so src/ goes on sys.path)."""
+    sys.path.insert(0, REF_SRC)
+    try:
+        import models.CRNN as crnn_mod
+        import models.CRNN_GRL as grl_mod
+    finally:
+        sys.path.remove(REF_SRC)
+    return grl_mod, crnn_mod
+
+
+def _save_ckpt(path, crnn, predictor):
+    """Reference checkpoint layout (main_baseline.py:895-971)."""
+    torch.save({
+        "model": {"name": type(crnn).__name__, "args": "", "kwargs": {},
+                  "state_dict": crnn.state_dict()},
+        "model_p": {"name": "Predictor", "args": "", "kwargs": {},
+                    "state_dict": predictor.state_dict()},
+        "pooling_time_ratio": 4,
+        "median_window": 14,
+        "epoch": 0,
+    }, path)
+
+
+def _assert_parity(cfg, ckpt_path, crnn, predictor, seed=3, batch=2):
+    from bsed_tpu.eval.test_model import load_torch_checkpoint
+    from bsed_tpu.train.steps import build_modules, make_predict_fn
+
+    params, stats = load_torch_checkpoint(ckpt_path, cfg)
+    predict = make_predict_fn(build_modules(cfg))
+
+    rng = np.random.default_rng(seed)
+    logmel = rng.standard_normal(
+        (batch, cfg.audio.max_frames, cfg.audio.n_mels)).astype(np.float32)
+    strong, weak = predict(params, stats, jnp.asarray(logmel),
+                           apply_log=False)
+
+    with torch.no_grad():
+        enc, _ = crnn(torch.from_numpy(logmel).unsqueeze(1))
+        ref_strong, ref_weak = predictor(enc)
+
+    s_err = np.max(np.abs(np.asarray(strong) - ref_strong.numpy()))
+    w_err = np.max(np.abs(np.asarray(weak) - ref_weak.numpy()))
+    assert s_err <= 1e-3, f"strong posterior error {s_err}"
+    assert w_err <= 1e-3, f"weak posterior error {w_err}"
+
+
+def test_crnn_grl_reference_parity(ref_models, tmp_path):
+    """The live classes: CRNN_GRL.CRNN + CRNN_GRL.Predictor."""
+    grl_mod, _ = ref_models
+    torch.manual_seed(11)
+    crnn = grl_mod.CRNN(**CRNN_KWARGS).eval()
+    predictor = grl_mod.Predictor(**PREDICTOR_KWARGS).eval()
+    ckpt = str(tmp_path / "baseline_best")
+    _save_ckpt(ckpt, crnn, predictor)
+    _assert_parity(get_config("baseline"), ckpt, crnn, predictor)
+
+
+def test_crnn_twin_reference_parity(ref_models, tmp_path):
+    """models/CRNN.py twin (same state-dict contract)."""
+    _, crnn_mod = ref_models
+    torch.manual_seed(12)
+    crnn = crnn_mod.CRNN(**CRNN_KWARGS).eval()
+    predictor = crnn_mod.Predictor(**PREDICTOR_KWARGS).eval()
+    ckpt = str(tmp_path / "baseline_best")
+    _save_ckpt(ckpt, crnn, predictor)
+    _assert_parity(get_config("baseline"), ckpt, crnn, predictor, seed=4)
+
+
+def test_crnn_fpn_reference_parity(ref_models, tmp_path):
+    """CRNN_GRL.CRNN_fpn: weight-tied pyramid, 3 BiGRUs, align_corners
+    bilinear upsample, 1x1 fusion convs."""
+    grl_mod, _ = ref_models
+    torch.manual_seed(13)
+    crnn = grl_mod.CRNN_fpn(**CRNN_KWARGS).eval()
+    predictor = grl_mod.Predictor(**PREDICTOR_KWARGS).eval()
+    ckpt = str(tmp_path / "fpn_best")
+    _save_ckpt(ckpt, crnn, predictor)
+    import dataclasses
+    cfg = get_config("baseline")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_fpn=True))
+    _assert_parity(cfg, ckpt, crnn, predictor, seed=5)
