@@ -45,6 +45,50 @@ def bench_tpu(batch_size: int = 64, iters: int = 10) -> float:
     return batch_size * iters / dt
 
 
+def bench_train(iters: int = 20) -> dict:
+    """Training throughput: the flagship MT+ISP step (9 model forwards +
+    backward) at the reference batch (12 SYN + 12 real), in the perf
+    configuration (fused_streams + bf16 activation dtype)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from bsed_tpu.config import get_config
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    cfg = get_config("baseline_mt_isp")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, fused_streams=True))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    step = make_train_step(modules)
+    rng = np.random.default_rng(0)
+    bs = cfg.train.batch_size
+    t_in, f = cfg.audio.max_frames, cfg.audio.n_mels
+    batch = {
+        "syn": jnp.asarray(np.abs(rng.standard_normal(
+            (bs, t_in, f))).astype(np.float32)),
+        "syn_strong": jnp.asarray((rng.random(
+            (bs, cfg.n_frames, cfg.nclass)) > 0.9).astype(np.float32)),
+        "real": jnp.asarray(np.abs(rng.standard_normal(
+            (bs, t_in, f))).astype(np.float32)),
+        "real_weak": jnp.asarray((rng.random(
+            (bs, cfg.nclass)) > 0.8).astype(np.float32)),
+    }
+    epoch = jnp.asarray(0.0)
+    state, m = step(state, batch, jax.random.key(1), epoch)  # compile
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.key(i + 2), epoch)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"train_ms_per_step": round(dt * 1e3, 2),
+            "train_clips_per_s": round(2 * bs / dt, 1)}
+
+
 def bench_cpu_baseline(n_clips: int = 4) -> float:
     import torch
     torch.set_num_threads(1)
@@ -83,12 +127,17 @@ def bench_cpu_baseline(n_clips: int = 4) -> float:
 def main():
     cpu_clips_per_sec = bench_cpu_baseline()
     tpu_clips_per_sec = bench_tpu()
-    print(json.dumps({
+    result = {
         "metric": "fused mel+CRNN inference clips/s (one chip)",
         "value": round(tpu_clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(tpu_clips_per_sec / cpu_clips_per_sec, 2),
-    }))
+    }
+    try:
+        result.update(bench_train())
+    except Exception as e:  # train bench is auxiliary — never break the line
+        result["train_bench_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -3,10 +3,14 @@ of 14 ``python main_X.py``/``TestModel.py``/tagging scripts
 (SURVEY.md §1 L4/L5).
 
     python -m bsed_tpu.cli train --preset baseline_mt_isp --data-root ...
-    python -m bsed_tpu.cli eval --store-dir stored_data/<name> ...
+    python -m bsed_tpu.cli eval --store-dir stored_data/<name> [--psds-sweep]
     python -m bsed_tpu.cli preprocess --dataset-root dataset/ENA
     python -m bsed_tpu.cli synthesize --co-occur ... --out ...
-    python -m bsed_tpu.cli tag-train / pseudo-label / features / analyze
+    python -m bsed_tpu.cli tag-train --save tagger.msgpack        # cycle (1)
+    python -m bsed_tpu.cli pseudo-label --weights ... --out-tsv … # cycle (2)
+    python -m bsed_tpu.cli train --preset scmt_ada_weak \
+        --pseudo-labels <tsv>                                     # cycle (3)
+    python -m bsed_tpu.cli features / visualize / analyze
 
 Flags mirror the reference argparse surface (main_baseline.py:609-632):
 ``-fpn``/``--use-fpn``, ``-mt``/``--meanteacher``, ``-ISP``, ``-stage``,
@@ -21,6 +25,11 @@ import sys
 
 
 def _apply_flags(cfg, args):
+    if getattr(args, "tiny_audio", False):
+        # smoke-test scale: 2 s clips at a reduced rate (CI / fixtures)
+        from bsed_tpu.config import AudioConfig
+        cfg = dataclasses.replace(cfg, audio=AudioConfig(
+            sr=3200, hop_size=160, max_len_seconds=2.0))
     model = dataclasses.replace(cfg.model, use_fpn=args.use_fpn
                                 if args.use_fpn else cfg.model.use_fpn)
     train = cfg.train
@@ -38,19 +47,20 @@ def _apply_flags(cfg, args):
     return dataclasses.replace(cfg, model=model, train=train, da=da)
 
 
-def _dataset_loaders(cfg, args):
+def _datasets(cfg, args):
+    """(syn, weak, unlabeled, val) datasets — real feature dumps under
+    --data-root, deterministic synthetic fixtures otherwise so every command
+    is runnable without shipped data."""
     from bsed_tpu.data.codec import ManyHotEncoder
     from bsed_tpu.data.datasets import (NpyFeatureDataset,
                                         PseudoLabeledDataset,
                                         SyntheticDataSource)
-    from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
 
     codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
                            sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
                            pooling_time_ratio=cfg.model.pooling_time_ratio)
     root = args.data_root
     if root is None:
-        # no data shipped: synthetic fixtures so every command is runnable
         n = args.subpart_data or 64
         syn = SyntheticDataSource(cfg, n_items=n, seed=1)
         weak = SyntheticDataSource(cfg, n_items=n // 2, seed=2)
@@ -63,7 +73,8 @@ def _dataset_loaders(cfg, args):
         weak = NpyFeatureDataset(
             os.path.join(root, cfg.data.dataset_root,
                          cfg.data.train_weak_subdir), codec, cfg)
-        pl_tsv = args.pseudo_labels or cfg.data.pseudo_label_tsv
+        pl_tsv = getattr(args, "pseudo_labels", None) \
+            or cfg.data.pseudo_label_tsv
         unlab = PseudoLabeledDataset(
             os.path.join(root, cfg.data.dataset_root,
                          cfg.data.train_unlabeled_subdir),
@@ -71,6 +82,13 @@ def _dataset_loaders(cfg, args):
         val = NpyFeatureDataset(
             os.path.join(root, cfg.data.dataset_root, cfg.data.val_subdir),
             codec, cfg)
+    return syn, weak, unlab, val
+
+
+def _dataset_loaders(cfg, args):
+    from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
+
+    syn, weak, unlab, val = _datasets(cfg, args)
     train_loader = ThreeStreamLoader(syn, weak, unlab,
                                      batch_size=cfg.train.batch_size,
                                      seed=cfg.train.seed)
@@ -104,7 +122,168 @@ def cmd_eval(args):
         torch_ckpt=args.torch_checkpoint, tag=args.tag,
         learned_post=args.learned_post,
         confusion_csv=args.confusion_csv)
+    if args.psds_sweep:
+        results.update(_psds_sweep(cfg, args, val_loader))
     print({k: v for k, v in results.items() if k != "per_class_f1"})
+
+
+def _load_eval_params(cfg, args):
+    """(params, batch_stats) from an orbax store-dir or a torch pickle."""
+    from bsed_tpu.eval.test_model import load_torch_checkpoint
+    from bsed_tpu.train.steps import build_modules, create_train_state
+    from bsed_tpu.utils.checkpoint import CheckpointManager
+
+    modules = build_modules(cfg)
+    if getattr(args, "torch_checkpoint", None):
+        params, stats = load_torch_checkpoint(args.torch_checkpoint, cfg)
+    else:
+        import jax
+        template = create_train_state(cfg, modules, jax.random.key(0))
+        state = CheckpointManager(args.store_dir).restore(
+            getattr(args, "tag", "best"), template)
+        params, stats = state.params, state.batch_stats
+    return modules, params, stats
+
+
+def _psds_sweep(cfg, args, val_loader):
+    """Multi-OP PSDS report at (0,0)/(1,0)/(0,1) + ROC curve dump
+    (evaluation_measures.py:287-315)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bsed_tpu.eval.decode import groundtruth_df_from_events
+    from bsed_tpu.eval.operating_points import (default_thresholds,
+                                                sweep_operating_points)
+    from bsed_tpu.eval.psds import compute_psds
+    from bsed_tpu.train.steps import make_predict_fn
+
+    modules, params, stats = _load_eval_params(cfg, args)
+    predict = make_predict_fn(modules)
+
+    def batches():
+        for mel, _target, names, n_valid in val_loader:
+            strong, _ = predict(params, stats, jnp.asarray(mel),
+                                inference=cfg.model.use_fpn)
+            yield np.asarray(strong)[:n_valid], names[:n_valid]
+
+    gt = val_loader.groundtruth_events() or {}
+    gt_df = groundtruth_df_from_events(gt)
+    sweep = sweep_operating_points(
+        batches(), cfg, gt_df,
+        thresholds=default_thresholds(args.n_thresholds))
+    report = dict(sweep["psds"])
+    if args.roc_out:
+        os.makedirs(args.roc_out, exist_ok=True)
+        for name, a_ct, a_st in (("psds_ct0_st0", 0.0, 0.0),
+                                 ("psds_ct1_st0", 1.0, 0.0),
+                                 ("psds_ct0_st1", 0.0, 1.0)):
+            res = compute_psds(sweep["operating_points"],
+                               len(gt) * cfg.audio.max_len_seconds or 1.0,
+                               alpha_ct=a_ct, alpha_st=a_st)
+            import pandas as pd
+            pd.DataFrame({"efpr": res.efpr, "etpr": res.etpr}).to_csv(
+                os.path.join(args.roc_out, f"roc_{name}.csv"), index=False)
+            try:  # ROC plot files (evaluation_measures.py:304-311)
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                fig, ax = plt.subplots()
+                ax.step(res.efpr, res.etpr, where="post")
+                ax.set_xlabel("eFPR (per hour)")
+                ax.set_ylabel("eTPR")
+                ax.set_title(f"{name}: PSDS={res.value:.4f}")
+                fig.savefig(os.path.join(args.roc_out, f"roc_{name}.png"),
+                            dpi=120)
+                plt.close(fig)
+            except ImportError:
+                pass
+    return report
+
+
+def cmd_tag_train(args):
+    """Weak audio-tagging trainer (audio_tagging_system_cnn.py): step (1) of
+    the pseudo-labeling cycle (SURVEY.md §3.4)."""
+    from bsed_tpu.config import get_config
+    from bsed_tpu.train.tagging_trainer import TaggingTrainer
+
+    cfg = _apply_flags(get_config(args.preset), args)
+    train_loader, val_loader, _ = _dataset_loaders(cfg, args)
+    trainer = TaggingTrainer(cfg, arch=args.arch,
+                             mean_teacher=args.meanteacher)
+    best_f1, best_epoch = 0.0, -1
+    for epoch in range(args.epochs):
+        loss = trainer.train_epoch(train_loader.epoch(epoch), epoch)
+        f1 = trainer.evaluate(val_loader)
+        if f1 >= best_f1:
+            best_f1, best_epoch = f1, epoch
+            if args.save:
+                trainer.save(args.save)
+        print({"epoch": epoch, "loss": round(loss, 4),
+               "weak_f1": round(f1, 4)})
+    print({"best_weak_f1": round(best_f1, 4), "best_epoch": best_epoch,
+           "saved": args.save})
+
+
+def cmd_pseudo_label(args):
+    """Pseudo-label TSV writer (audio_tagging_inference.py:288-313): step
+    (2) of the cycle — tagger weak posteriors over the unlabeled set →
+    threshold → decode_weak → TSV consumed by the unlabeled stream."""
+    from bsed_tpu.config import get_config
+    from bsed_tpu.data.codec import ManyHotEncoder
+    from bsed_tpu.train.tagging_trainer import (TaggingTrainer,
+                                                write_pseudo_labels)
+
+    cfg = _apply_flags(get_config(args.preset), args)
+    _, _, unlab, _ = _datasets(cfg, args)
+    codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
+                           sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
+                           pooling_time_ratio=cfg.model.pooling_time_ratio)
+    trainer = TaggingTrainer(cfg, arch=args.arch)
+    trainer.load(args.weights)
+    df = write_pseudo_labels(trainer.predict_weak, unlab, args.out_tsv,
+                             codec, threshold=args.threshold)
+    print({"rows": len(df), "out": args.out_tsv})
+
+
+def cmd_features(args):
+    """Encoder-embedding dumper (save_features.py:235-283)."""
+    import jax.numpy as jnp  # noqa: F401  (forces backend init first)
+
+    from bsed_tpu.config import get_config
+    from bsed_tpu.data.pipeline import EvalLoader
+    from bsed_tpu.eval.features import dump_features, make_encode_fn
+
+    cfg = _apply_flags(get_config(args.preset), args)
+    syn, weak, unlab, val = _datasets(cfg, args)
+    split = {"syn": syn, "weak": weak, "unlabeled": unlab,
+             "val": val}[args.split]
+    loader = EvalLoader(split, batch_size=cfg.train.batch_size)
+    modules, params, stats = _load_eval_params(cfg, args)
+    paths = dump_features(make_encode_fn(modules, params, stats), loader,
+                          args.out_dir)
+    print({"batches": len(paths), "out_dir": args.out_dir})
+
+
+def cmd_visualize(args):
+    """t-SNE + SVM domain-separability probes over two embedding dumps
+    (visualize.py:22-121)."""
+    import numpy as np
+
+    from bsed_tpu.eval.features import load_feature_dir
+    from bsed_tpu.eval.visualize import (svm_domain_accuracy,
+                                         tsne_domain_audit)
+
+    syn_emb = load_feature_dir(args.syn_features)
+    real_emb = load_feature_dir(args.real_features)
+    os.makedirs(args.out_dir, exist_ok=True)
+    pts, labels, sil = tsne_domain_audit(
+        syn_emb, real_emb,
+        plot_path=os.path.join(args.out_dir, "tsne.png"))
+    np.save(os.path.join(args.out_dir, "tsne_points.npy"), pts)
+    np.save(os.path.join(args.out_dir, "tsne_domains.npy"), labels)
+    acc = svm_domain_accuracy(syn_emb, real_emb)
+    print({"silhouette": round(sil, 4), "svm_domain_accuracy": round(acc, 4),
+           "out_dir": args.out_dir})
 
 
 def cmd_preprocess(args):
@@ -161,6 +340,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-level", "--level", choices=["clip", "frame"],
                         default=None)
         sp.add_argument("--pseudo-labels", default=None)
+        sp.add_argument("--tiny-audio", action="store_true",
+                        help=argparse.SUPPRESS)
 
     sp = sub.add_parser("train")
     common(sp)
@@ -176,7 +357,47 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--torch-checkpoint", default=None)
     sp.add_argument("--learned-post", action="store_true")
     sp.add_argument("--confusion-csv", default=None)
+    sp.add_argument("--psds-sweep", action="store_true",
+                    help="multi-threshold PSDS report at (0,0)/(1,0)/(0,1)")
+    sp.add_argument("--n-thresholds", type=int, default=50)
+    sp.add_argument("--roc-out", default=None,
+                    help="directory for ROC curve CSV/PNG dumps")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("tag-train",
+                        help="train the weak audio tagger (cycle step 1)")
+    common(sp)
+    sp.add_argument("--arch", choices=["resnet", "vgg"], default="resnet")
+    sp.add_argument("--epochs", type=int, default=1)
+    sp.add_argument("--save", default=None,
+                    help="path for the best tagger weights (msgpack)")
+    sp.set_defaults(fn=cmd_tag_train)
+
+    sp = sub.add_parser("pseudo-label",
+                        help="write the weak pseudo-label TSV (cycle step 2)")
+    common(sp)
+    sp.add_argument("--arch", choices=["resnet", "vgg"], default="resnet")
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--out-tsv", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.set_defaults(fn=cmd_pseudo_label)
+
+    sp = sub.add_parser("features",
+                        help="dump (B, 313, 256) encoder embeddings")
+    common(sp)
+    sp.add_argument("--tag", default="best")
+    sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--split", choices=["syn", "weak", "unlabeled", "val"],
+                    default="val")
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_features)
+
+    sp = sub.add_parser("visualize",
+                        help="t-SNE + SVM domain probes over feature dumps")
+    sp.add_argument("--syn-features", required=True)
+    sp.add_argument("--real-features", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_visualize)
 
     sp = sub.add_parser("preprocess")
     sp.add_argument("--preset", default="baseline")

@@ -66,6 +66,14 @@ class ModelConfig:
     dropout_recurrent: float = 0.0
     attention: bool = True
     use_fpn: bool = False
+    # prediction head over the (B, 313, 256) encoding:
+    #   "linear" — Predictor (CRNN_GRL.py:430-460), the default everywhere
+    #   "mlp"    — Predictor_2 (CRNN_GRL.py:391-428), the live head of the
+    #              dual-CRNN script (main_scmt_ada_weak_seperate_2_crnn.py:818)
+    #   "crnn"   — CRNN_pred (CRNN_GRL.py:206-290) as a conv head over the
+    #              encoding (the reference's alternate wiring at :819 is
+    #              commented out and shape-broken; this realizes its intent)
+    predictor_head: str = "linear"
     # conv-stack computation dtype: "float32" (reference parity, default) or
     # "bfloat16" (~1.6x faster conv stack on v5e; ~1e-2 activation error —
     # fine for training/serving throughput, not for the 1e-3 parity gate)
@@ -96,6 +104,14 @@ class DAConfig:
     grl_lo: float = 0.0
     grl_hi: float = 1.0
     grl_max_iters: int = 1000
+    # aux-optimizer lr coupling: the scripts that live-call
+    # adjust_learning_rate(optimizer, …, optimizer_d=optimizer_d,
+    # optimizer_crnn=optimizer_crnn) set BOTH aux optimizers to lr × 0.1
+    # every step (main_baseline.py:80-88; live call sites main.py:228,
+    # main_origin.py:202, main_scmt.py:267, main_scmt_ada_origin.py:279).
+    # 1.0 = uncoupled (aux optimizers at the main lr), matching the scripts
+    # that pass optimizer_d=None.
+    aux_lr_factor: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +123,10 @@ class TrainConfig:
     n_epoch_rampup: int = 50
     n_epoch_rampdown: int = 80
     rampdown_epochs: int = 30         # sigmoid_rampdown(c_epoch, 30), main_baseline.py:285
+    # defaults mirror src/data/config.py:97-99 (adjust_lr=False, 5e-4) used
+    # by the scmt/origin/ada script family; the main_baseline.py lineage
+    # imports config_baseline.py:97-99 (adjust_lr=True, 1e-3) — set per
+    # preset below.
     max_learning_rate: float = 5e-4
     adjust_lr: bool = False
     optimizer: str = "adam"           # adam | sgd(momentum .9 nesterov wd 1e-4)
@@ -117,7 +137,11 @@ class TrainConfig:
     mean_teacher: bool = False
     isp: bool = False                 # shift-consistency training (SCT)
     mixup: bool = False               # ICT mixup (main.py lineage)
-    mixup_alpha: float = 1.0
+    mixup_alpha: float = 1.0          # mixup_sup_alpha (main.py:368)
+    mixup_usup_alpha: float = 2.0     # unlabeled mixup alpha (main.py:369)
+    mixup_consistency: float = 1.0    # unlabeled mixup-consistency weight
+                                      # (main.py:370), scaled by the ramped
+                                      # consistency cost like the MT terms
     pseudo_labels: bool = False       # consume weak PL TSV for unlabeled stream
     stage: str = "pretrain"           # pretrain | adaptation
     seed: int = 2023
@@ -129,6 +153,11 @@ class TrainConfig:
     freq_shift_max: int = 4           # ISP: randint(-4,4) mel bins
     supervise_on: str = "syn"         # syn | real  (main_baseline vs main_baseline_ena)
     best_metric: str = "event_f1"     # event_f1 | weak_f1 (pseudo_labeling_main.py:990)
+    # perf opt-in: stack the same-shape MT+ISP student forwards (and the 3
+    # teacher forwards) into ONE batched forward each. Changes per-stream
+    # BatchNorm semantics (batch stats pool over all streams), so it is OFF
+    # for reference-parity training and ON for throughput runs.
+    fused_streams: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,33 +237,59 @@ def _cfg(model_name: str, *, model=None, train=None, da=None, **kw) -> Config:
 # ---------------------------------------------------------------------------
 PRESETS = {
     # main_baseline.py: supervised-on-SYN core; -mt/-ISP/-fpn add MT/SCT/FPN;
-    # adaptation stage adds frame-CDAN discriminator pre-step.
-    "baseline": _cfg("baseline"),
+    # adaptation stage adds frame-CDAN discriminator pre-step. The lineage
+    # imports config_baseline.py:97-99: adjust_lr=True, max_lr=1e-3.
+    "baseline": _cfg("baseline",
+                     train={"adjust_lr": True, "max_learning_rate": 1e-3}),
     "baseline_mt": _cfg("baseline_mt",
-                        train={"mean_teacher": True, "pseudo_labels": True}),
+                        train={"mean_teacher": True, "pseudo_labels": True,
+                               "adjust_lr": True, "max_learning_rate": 1e-3}),
     "baseline_mt_isp": _cfg("baseline_mt_isp",
                             train={"mean_teacher": True, "isp": True,
-                                   "pseudo_labels": True}),
+                                   "pseudo_labels": True, "adjust_lr": True,
+                                   "max_learning_rate": 1e-3}),
     "baseline_fpn_mt_isp": _cfg("baseline_fpn_mt_isp",
                                 model={"use_fpn": True},
                                 train={"mean_teacher": True, "isp": True,
-                                       "pseudo_labels": True}),
+                                       "pseudo_labels": True,
+                                       "adjust_lr": True,
+                                       "max_learning_rate": 1e-3}),
     "baseline_adaptation": _cfg("baseline_adaptation",
                                 train={"stage": "adaptation",
                                        "mean_teacher": True, "isp": True,
-                                       "pseudo_labels": True},
+                                       "pseudo_labels": True,
+                                       "adjust_lr": True,
+                                       "max_learning_rate": 1e-3},
                                 da={"mode": "cdan_frame", "level": "frame",
                                     "randomized_dim": 3130}),
-    # main_baseline_ena.py: fully-supervised-on-ENA upper bound.
-    "baseline_ena": _cfg("baseline_ena", train={"supervise_on": "real"}),
-    # main_scmt.py: MT + SCT with ADDA-style alternating update, adv_w=2.5.
+    # main_baseline_ena.py: fully-supervised-on-ENA upper bound
+    # (config_baseline_ena.py:97-99: adjust_lr=False, lr=1e-3).
+    "baseline_ena": _cfg("baseline_ena",
+                         train={"supervise_on": "real",
+                                "max_learning_rate": 1e-3}),
+    # main_scmt.py: MT + SCT with ADDA-style alternating update, adv_w=2.5;
+    # aux optimizers coupled at lr×0.1 (main_scmt.py:267).
     "scmt": _cfg("scmt",
                  train={"mean_teacher": True, "isp": True},
-                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
-    # main.py / main_origin.py: oldest lineage with ICT mixup.
+                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2,
+                     "aux_lr_factor": 0.1}),
+    # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
+    # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470)
+    # and coupled aux optimizers (main_origin.py:202).
     "origin": _cfg("origin",
                    train={"mean_teacher": True, "isp": True, "mixup": True},
-                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
+                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2,
+                       "aux_lr_factor": 0.1}),
+    # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
+    # mixup with per-step alternating discriminator/confusion updates on the
+    # frame features (adv_w=2.5, update_step=1, :364-466), Adam main
+    # optimizer (:1056-1060), aux optimizers coupled at lr×0.1 (:279).
+    "scmt_ada_origin": _cfg("scmt_ada_origin",
+                            train={"mean_teacher": True, "isp": True,
+                                   "mixup": True},
+                            da={"mode": "adda", "level": "frame",
+                                "adv_weight": 2.5, "update_step": 1,
+                                "aux_lr_factor": 0.1}),
     # main_scmt_ada.py: MT + DANN on clip features.
     "scmt_ada": _cfg("scmt_ada",
                      train={"mean_teacher": True},
@@ -259,6 +314,17 @@ PRESETS = {
                                           "stage": "adaptation"},
                                    da={"mode": "cdan", "level": "clip",
                                        "joint_backward": True}),
+    # main_scmt_ada_weak_seperate_2_crnn.py: the dual-CRNN self-training
+    # stage-2 script — Predictor_2 MLP head (:818), frame-CDAN-flavor loss
+    # over weak preds + clip-flattened features in a discriminator pre-step
+    # (:320-336, randomized_dim=3130 at :813), SGD.
+    "scmt_ada_weak_separate_2crnn": _cfg(
+        "scmt_ada_weak_separate_2crnn",
+        model={"predictor_head": "mlp"},
+        train={"mean_teacher": True, "pseudo_labels": True,
+               "optimizer": "sgd", "stage": "adaptation"},
+        da={"mode": "cdan_frame", "level": "frame",
+            "randomized_dim": 3130}),
     # pseudo_labeling_main.py: CDAN with entropy conditioning; best on weak F1.
     "pseudo_labeling": _cfg("pseudo_labeling",
                             train={"mean_teacher": True, "pseudo_labels": True,

@@ -65,6 +65,17 @@ class NpyFeatureDataset:
         target = self.encoder.encode_strong_df(df).astype(np.float32)
         return features, target
 
+    def events(self, index: int) -> List[Tuple[str, float, float]]:
+        """Ground-truth events at the ORIGINAL second resolution from the
+        annotation text (not reconstructed from frame targets) — the
+        reference assembles eval GT this way (evaluation_measures.py:226-248)
+        so event-F1 keeps sub-frame onset/offset precision."""
+        ann = os.path.join(self.annotation_dir, self.filename(index) + ".txt")
+        df = pd.read_csv(ann, sep="\t")
+        return [(str(r["event_label"]), float(r["onset"]), float(r["offset"]))
+                for _, r in df.iterrows()
+                if str(r["event_label"]) in self.encoder.labels]
+
     def __getitem__(self, index: int):
         if self.in_memory:
             if index not in self._cache:
@@ -88,13 +99,17 @@ class PseudoLabeledDataset:
         self.files = sorted(glob.glob(os.path.join(self.feature_dir, "*.npy")))
         self.in_memory = in_memory
         self._cache: Dict[int, np.ndarray] = {}
-        pl = pd.read_csv(pseudo_label_tsv, sep="\t")
         # the reference matches on the full feature path (dataload.py:113);
-        # we match on both full path and basename for robustness
+        # we match on both full path and basename for robustness. A missing
+        # TSV is tolerated (all-empty weak targets): the pseudo-label CLI
+        # must be able to read this dataset BEFORE the first TSV exists.
         self._weak: Dict[str, str] = {}
-        for _, row in pl.iterrows():
-            key = os.path.splitext(os.path.basename(str(row["filename"])))[0]
-            self._weak[key] = row.get("event_labels", "")
+        if os.path.exists(pseudo_label_tsv):
+            pl = pd.read_csv(pseudo_label_tsv, sep="\t")
+            for _, row in pl.iterrows():
+                key = os.path.splitext(
+                    os.path.basename(str(row["filename"])))[0]
+                self._weak[key] = row.get("event_labels", "")
 
     def __len__(self):
         return len(self.files)
@@ -150,6 +165,9 @@ class SyntheticDataSource:
         self.seed = seed
         self.weak_only = weak_only
         self.event_rate = event_rate
+        # pooled frames per second: frame targets quantize events to this
+        self._fps = (cfg.audio.sr / cfg.audio.hop_size
+                     / cfg.model.pooling_time_ratio)
 
     def __len__(self):
         return self.n_items
@@ -157,20 +175,42 @@ class SyntheticDataSource:
     def filename(self, index: int) -> str:
         return f"synthetic_{self.seed}_{index}"
 
-    def __getitem__(self, index: int):
+    def events(self, index: int):
+        """Ground-truth events at true second resolution (sub-frame
+        onsets/offsets — frame encoding quantizes them)."""
         rng = np.random.default_rng(self.seed * 100003 + index)
+        clip_s = self.cfg.audio.max_len_seconds
+        c = self.cfg.nclass
+        out = []
+        n_events = max(1, rng.poisson(self.event_rate * c))
+        for _ in range(n_events):
+            cls = int(rng.integers(c))
+            onset = float(rng.uniform(0.0, clip_s * 0.8))
+            dur = float(rng.uniform(0.15, clip_s * 0.25))
+            offset = min(onset + dur, clip_s)
+            out.append((self.cfg.bird_list[cls], onset, offset))
+        return out
+
+    def __getitem__(self, index: int):
+        events = self.events(index)
+        rng = np.random.default_rng(self.seed * 100003 + index + 7)
         t, f = self.cfg.audio.max_frames, self.cfg.audio.n_mels
         features = np.abs(rng.standard_normal((t, f))).astype(np.float32)
         tf, c = self.cfg.n_frames, self.cfg.nclass
         strong = np.zeros((tf, c), np.float32)
-        n_events = rng.poisson(self.event_rate * c)
-        for _ in range(max(1, n_events)):
-            cls = rng.integers(c)
-            a = int(rng.integers(0, max(1, tf - 4)))
-            b = a + int(rng.integers(2, max(3, min(60, tf - a))))
+        cls_index = {l: i for i, l in enumerate(self.cfg.bird_list)}
+        ptr = self.cfg.model.pooling_time_ratio
+        for label, onset, offset in events:
+            cls = cls_index[label]
+            # codec floor-division chain (dataload.py:79-81)
+            a = int(onset * self.cfg.audio.sr
+                    // self.cfg.audio.hop_size // ptr)
+            b = int(offset * self.cfg.audio.sr
+                    // self.cfg.audio.hop_size // ptr)
+            a, b = min(a, tf - 1), min(max(b, a + 1), tf)
             strong[a:b, cls] = 1.0
             # boost the mel energy where the event is (weak signal)
-            features[a * 4:b * 4, (cls * 6) % f:(cls * 6) % f + 8] += 2.0
+            features[a * ptr:b * ptr, (cls * 6) % f:(cls * 6) % f + 8] += 2.0
         if self.weak_only:
             return features, strong.max(axis=0), self.filename(index)
         return features, strong, self.filename(index)

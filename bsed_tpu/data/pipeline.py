@@ -106,6 +106,19 @@ class EvalLoader:
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
+    def groundtruth_events(self) -> Optional[Dict[str, list]]:
+        """{filename: [(label, onset_s, offset_s)]} at the original second
+        resolution when the dataset can provide it (the reference assembles
+        eval GT from annotation text, evaluation_measures.py:226-248);
+        None when only frame targets exist (caller falls back to decoding
+        them, losing sub-frame precision)."""
+        if not hasattr(self.dataset, "events"):
+            return None
+        name = (self.dataset.filename if hasattr(self.dataset, "filename")
+                else str)
+        return {name(i): list(self.dataset.events(i))
+                for i in range(len(self.dataset))}
+
     def __iter__(self):
         n = len(self.dataset)
         for start in range(0, n, self.batch_size):

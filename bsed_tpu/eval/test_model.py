@@ -76,7 +76,10 @@ def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
                            pooling_time_ratio=cfg.model.pooling_time_ratio)
 
     pred_dfs = []
-    gt_events = {}
+    # GT at original second resolution (evaluation_measures.py:226-248);
+    # frame-decoded reconstruction only when annotations are unavailable
+    true_events = loader.groundtruth_events()
+    gt_events = true_events if true_events is not None else {}
     sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
     for mel, target, names, n_valid in loader:
         strong, _ = predict(params, stats, jnp.asarray(mel),
@@ -87,10 +90,11 @@ def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
                                      thresholds=thresholds,
                                      learned_post=learned_post))
         target = np.asarray(target)[:n_valid]
-        for b, name in enumerate(names):
-            events = codec.decode_strong(target[b])
-            gt_events[name] = [(l, a * sec, b_ * sec)
-                               for (l, a, b_) in events]
+        if true_events is None:
+            for b, name in enumerate(names):
+                events = codec.decode_strong(target[b])
+                gt_events[name] = [(l, a * sec, b_ * sec)
+                                   for (l, a, b_) in events]
 
     pred_df = merge_prediction_dfs(pred_dfs)[thresholds[0]]
     gt_df = groundtruth_df_from_events(gt_events)

@@ -47,8 +47,9 @@ class CRNN(nn.Module):
         # (B, T', 1, C) → (B, T', C)
         x = jnp.squeeze(x, axis=2)
         x = BidirectionalGRU(self.cfg.n_rnn_cell, self.cfg.n_layers_rnn,
-                             self.cfg.dropout_recurrent, name="rnn")(
-                                 x, train=train)
+                             self.cfg.dropout_recurrent,
+                             dtype=_cnn_kwargs(self.cfg)["dtype"],
+                             name="rnn")(x, train=train)
         x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
         return x, x
 
@@ -70,8 +71,9 @@ class CRNNFPN(nn.Module):
         def run_rnn(h, name):
             h = jnp.squeeze(h, axis=2)
             h = BidirectionalGRU(cfg.n_rnn_cell, cfg.n_layers_rnn,
-                                 cfg.dropout_recurrent, name=name)(
-                                     h, train=train)
+                                 cfg.dropout_recurrent,
+                                 dtype=_cnn_kwargs(cfg)["dtype"],
+                                 name=name)(h, train=train)
             return nn.Dropout(cfg.dropout, deterministic=not train)(h)
 
         x = run_rnn(x, "rnn")        # (B, 313, 256)
@@ -104,7 +106,12 @@ class CRNNPred(nn.Module):
     def __call__(self, x, train: bool = False, inference: bool = False):
         cfg = self.cfg
         x = CNN(**_cnn_kwargs(cfg), name="cnn")(x, train=train)
-        x = jnp.squeeze(x, axis=2)                      # (B, T', C)
+        if x.shape[2] != 1:
+            # freq axis not fully pooled: flatten chan·freq per frame, the
+            # torch forward's `freq != 1` branch (CRNN_GRL.py:256-258)
+            x = x.reshape(x.shape[0], x.shape[1], -1)
+        else:
+            x = jnp.squeeze(x, axis=2)                  # (B, T', C)
         strong = nn.sigmoid(x)
         sof = nn.Dense(cfg.nclass, kernel_init=normal_init(0.01),
                        name="dense_softmax")(x)
@@ -115,6 +122,22 @@ class CRNNPred(nn.Module):
             gate = (weak > 0.5).astype(strong.dtype)[:, None, :]
             strong = strong[..., :cfg.nclass] * gate
         return strong, weak
+
+
+class EncodedCRNNPred(nn.Module):
+    """CRNN_pred used as a prediction HEAD over the first CRNN's (B, T, 256)
+    encoding — the dual-CRNN experiment's second model
+    (main_scmt_ada_weak_seperate_2_crnn.py:673-687,819). The reference's own
+    alternate wiring is commented out and shape-broken (its dense_softmax
+    expects a 20-d input that the conv stack never produces); this realizes
+    the design with a conv stack whose pooling fully reduces the 256-wide
+    feature axis and whose last filter bank equals nclass."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, inference: bool = False):
+        return CRNNPred(self.cfg, name="crnn_pred")(x[..., None], train=train,
+                                                    inference=inference)
 
 
 class CRNNDA(nn.Module):

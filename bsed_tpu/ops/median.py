@@ -10,7 +10,7 @@ Key identity: the median of a 0/1 window of width w equals
 With scipy's default 'reflect' boundary (= np.pad 'symmetric') and window
 span [i - w//2, i + (w-1-w//2)], a median filter over binary data is a
 windowed moving count — one cumulative sum and one subtraction instead of a
-rank filter. Exactness vs scipy is covered by tests/test_median.py.
+rank filter. Exactness vs scipy is covered by tests/test_decode_metrics.py.
 """
 from __future__ import annotations
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 import optax
 
 from bsed_tpu.config import Config
-from bsed_tpu.models.crnn import make_encoder
+from bsed_tpu.models.crnn import EncodedCRNNPred, make_encoder
 from bsed_tpu.models.discriminators import (ClipDiscriminator,
                                             ClipDiscriminatorSoftmax,
                                             FrameDiscriminator,
@@ -40,7 +41,7 @@ from bsed_tpu.ops.augment import (gaussian_snr_noise, mixup, roll_batch,
                                   sample_isp_shifts)
 from bsed_tpu.ops.grl import warm_start_lambda
 from bsed_tpu.ops.mel import amplitude_to_db
-from bsed_tpu.models.predictor import Predictor
+from bsed_tpu.models.predictor import Predictor, Predictor2
 from bsed_tpu.train import da as da_losses
 from bsed_tpu.train.ema import ema_update
 from bsed_tpu.train.losses import bce, mse
@@ -107,9 +108,26 @@ def _make_discriminator(cfg: Config):
     raise ValueError(mode)
 
 
+def make_predictor_head(cfg: Config):
+    """Prediction head per cfg.model.predictor_head: the default attention
+    Predictor, the Predictor_2 MLP (dual-CRNN script, CRNN_GRL.py:391-428),
+    or CRNN_pred as a conv head (CRNN_GRL.py:206-290)."""
+    m = cfg.model
+    if m.predictor_head == "mlp":
+        return Predictor2(nclass=cfg.nclass, attention=m.attention,
+                          dropout=m.dropout)
+    if m.predictor_head == "crnn":
+        head_cfg = dataclasses.replace(
+            m, nb_filters=(16, 32, 64, 32, cfg.nclass),
+            pooling=((1, 4), (1, 4), (1, 4), (1, 2), (1, 2)),
+            predictor_head="linear")
+        return EncodedCRNNPred(head_cfg)
+    return Predictor(nclass=cfg.nclass, attention=m.attention)
+
+
 def build_modules(cfg: Config) -> TrainModules:
     encoder = make_encoder(cfg.model, cfg.n_frames)
-    predictor = Predictor(nclass=cfg.nclass, attention=cfg.model.attention)
+    predictor = make_predictor_head(cfg)
     disc = _make_discriminator(cfg)
     rand_maps = None
     if (_effective_da_mode(cfg) == "cdan" and cfg.da.level != "clip"
@@ -143,9 +161,12 @@ def create_train_state(cfg: Config, modules: TrainModules,
     k_enc, k_pred, k_ema_e, k_ema_p, k_disc = jax.random.split(rng, 5)
     enc_params, enc_stats = _init_model(modules.encoder, k_enc, dummy)
     dummy_enc = jnp.zeros((2, cfg.n_frames, 2 * cfg.model.n_rnn_cell))
-    pred_params, _ = _init_model(modules.predictor, k_pred, dummy_enc)
+    pred_params, pred_stats = _init_model(modules.predictor, k_pred,
+                                          dummy_enc)
     params = {"encoder": enc_params, "predictor": pred_params}
     batch_stats = {"encoder": enc_stats}
+    if pred_stats:                       # CRNN_pred head carries BatchNorm
+        batch_stats["predictor"] = pred_stats
     opt_state = modules.optimizer.init(params)
 
     ema_params = ema_stats = None
@@ -153,9 +174,11 @@ def create_train_state(cfg: Config, modules: TrainModules,
         # the reference gives the teacher its OWN random init
         # (main_baseline.py:817-818) — the EMA converges onto the student
         e_params, e_stats = _init_model(modules.encoder, k_ema_e, dummy)
-        p_params, _ = _init_model(modules.predictor, k_ema_p, dummy_enc)
+        p_params, p_stats = _init_model(modules.predictor, k_ema_p, dummy_enc)
         ema_params = {"encoder": e_params, "predictor": p_params}
         ema_stats = {"encoder": e_stats}
+        if p_stats:
+            ema_stats["predictor"] = p_stats
 
     disc_params = disc_stats = disc_opt = enc_opt = None
     if modules.discriminator is not None:
@@ -193,15 +216,26 @@ def make_train_step(modules: TrainModules) -> Callable:
     use_mixup = t.mixup
     da_mode = _effective_da_mode(cfg)
 
+    pred_has_stats = cfg.model.predictor_head == "crnn"
+
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
         (enc, _), mut = encoder.apply(
             {"params": params["encoder"], "batch_stats": stats["encoder"]},
             x, train=True, rngs={"dropout": k1}, mutable=["batch_stats"])
-        strong, weak = predictor.apply(
-            {"params": params["predictor"]}, enc, train=True,
-            inference=inference, rngs={"dropout": k2})
-        return strong, weak, enc, {"encoder": mut["batch_stats"]}
+        new_stats = {"encoder": mut["batch_stats"]}
+        if pred_has_stats:
+            (strong, weak), mut_p = predictor.apply(
+                {"params": params["predictor"],
+                 "batch_stats": stats["predictor"]}, enc, train=True,
+                inference=inference, rngs={"dropout": k2},
+                mutable=["batch_stats"])
+            new_stats["predictor"] = mut_p["batch_stats"]
+        else:
+            strong, weak = predictor.apply(
+                {"params": params["predictor"]}, enc, train=True,
+                inference=inference, rngs={"dropout": k2})
+        return strong, weak, enc, new_stats
 
     def disc_apply_fn(disc_params, disc_stats, key):
         def apply(h):
@@ -338,15 +372,23 @@ def make_train_step(modules: TrainModules) -> Callable:
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, epoch: jnp.ndarray):
-        keys = jax.random.split(rng, 16)
+        keys = jax.random.split(rng, 20)
         (k_noise, k_shift, k_s1, k_s2, k_s3, k_s4, k_s5, k_s6,
-         k_t1, k_t2, k_t3, k_da, k_mix, k_mix2, k_extra, _) = keys
+         k_t1, k_t2, k_t3, k_da, k_mix, k_mix2, k_t4, k_umix, k_umix2,
+         k_wmix, k_wmix2, _) = keys
 
         rampup_value = sigmoid_rampdown(epoch, t.rampdown_epochs)
         cost = t.max_consistency_cost * rampup_value
         lr = learning_rate(epoch, t.max_learning_rate, t.adjust_lr,
                            t.rampdown_epochs)
         state.opt_state.hyperparams["learning_rate"] = lr
+        if state.enc_opt_state is not None:
+            # aux-optimizer lr coupling (main_baseline.py:80-88): the
+            # scripts that pass optimizer_d/optimizer_crnn run both aux
+            # optimizers at lr × aux_lr_factor (0.1) every step
+            aux_lr = lr * cfg.da.aux_lr_factor
+            state.enc_opt_state.hyperparams["learning_rate"] = aux_lr
+            state.disc_opt_state.hyperparams["learning_rate"] = aux_lr
 
         syn_lin = batch["syn"]
         real_lin = batch.get("real", None)
@@ -392,30 +434,79 @@ def make_train_step(modules: TrainModules) -> Callable:
                 x_real_t_freq = roll_batch(x_real_t, freq_shift, axis=2)
 
         # ---- teacher forwards (no grad; teacher BN stats thread in the
-        # reference's call order, main_baseline.py:352-368)
+        # reference's call order, main_baseline.py:352-368). With
+        # fused_streams the 3 same-shape teacher forwards run as ONE
+        # batched forward (BN stats pool over the 3 streams — opt-in).
         teacher = {}
         t_stats = state.ema_batch_stats
         if mean_teacher:
-            ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
-                                           x_real_t, k_t1)
-            teacher["strong"], teacher["weak"] = sg(ts), sg(tw)
-            if isp:
+            if isp and t.fused_streams:
+                n_t = x_real_t.shape[0]
+                ts_all, tw_all, _, t_stats = model_fwd(
+                    state.ema_params, t_stats,
+                    jnp.concatenate([x_real_t, x_real_t_shift,
+                                     x_real_t_freq], 0), k_t1)
+                for i, tag in enumerate(("", "_shift", "_freq")):
+                    teacher[f"strong{tag}"] = sg(
+                        ts_all[i * n_t:(i + 1) * n_t])
+                    teacher[f"weak{tag}"] = sg(tw_all[i * n_t:(i + 1) * n_t])
+            else:
                 ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
-                                               x_real_t_shift, k_t2)
-                teacher["strong_shift"], teacher["weak_shift"] = sg(ts), sg(tw)
-                ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
-                                               x_real_t_freq, k_t3)
-                teacher["strong_freq"], teacher["weak_freq"] = sg(ts), sg(tw)
+                                               x_real_t, k_t1)
+                teacher["strong"], teacher["weak"] = sg(ts), sg(tw)
+                if isp:
+                    ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                                   x_real_t_shift, k_t2)
+                    teacher["strong_shift"] = sg(ts)
+                    teacher["weak_shift"] = sg(tw)
+                    ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                                   x_real_t_freq, k_t3)
+                    teacher["strong_freq"] = sg(ts)
+                    teacher["weak_freq"] = sg(tw)
+
+        # ---- ICT unlabeled mixup-consistency targets (main.py:451-470):
+        # EMA teacher scores the CLEAN unlabeled inputs; input and both
+        # teacher posteriors are mixed with one shared λ/permutation and
+        # the student is scored on the mixed input inside loss_fn
+        if use_mixup and mean_teacher and x_real is not None:
+            u_half = x_real.shape[0] // 2
+            x_u = x_real[u_half:]                    # unlabeled-PL stream
+            ts_u, tw_u, _, t_stats = model_fwd(state.ema_params, t_stats,
+                                               x_u, k_t4)
+            mixed_x_u, mixed_strong_u, mixed_weak_u, _ = mixup(
+                k_umix, x_u, sg(ts_u), sg(tw_u), alpha=t.mixup_usup_alpha)
 
         # ---- main loss
+        fused = t.fused_streams and real_lin is not None
+
         def loss_fn(params, disc_params=None):
             m: Dict[str, jnp.ndarray] = {}
             stats = state.batch_stats
-            syn_strong, syn_weak, syn_enc, stats = model_fwd(params, stats,
-                                                             x_syn, k_s1)
-            if x_real is not None:
-                r_strong, r_weak, r_enc, stats = model_fwd(params, stats,
-                                                           x_real, k_s2)
+            if fused:
+                # one batched forward over all same-rank student streams
+                # (2 main + 4 ISP); split back by static sizes
+                parts = [x_syn, x_real]
+                if isp:
+                    parts += [x_real_shift, x_real_freq,
+                              x_syn_shift, x_syn_freq]
+                sizes = [p.shape[0] for p in parts]
+                cuts = list(itertools.accumulate(sizes))[:-1]
+                s_all, w_all, e_all, stats = model_fwd(
+                    params, stats, jnp.concatenate(parts, 0), k_s1)
+                s_p = jnp.split(s_all, cuts, 0)
+                w_p = jnp.split(w_all, cuts, 0)
+                e_p = jnp.split(e_all, cuts, 0)
+                syn_strong, syn_weak, syn_enc = s_p[0], w_p[0], e_p[0]
+                r_strong, r_weak, r_enc = s_p[1], w_p[1], e_p[1]
+                if isp:
+                    rs_strong, rf_strong, ss_strong, sf_strong = s_p[2:6]
+                    rs_weak, rf_weak, ss_weak, sf_weak = w_p[2:6]
+            else:
+                syn_strong, syn_weak, syn_enc, stats = model_fwd(
+                    params, stats, x_syn, k_s1)
+                if x_real is not None:
+                    r_strong, r_weak, r_enc, stats = model_fwd(
+                        params, stats, x_real, k_s2)
 
             # supervised BCE (main_baseline.py:431-475 / _ena variant)
             if t.supervise_on == "real" and real_strong_target is not None:
@@ -439,14 +530,15 @@ def make_train_step(modules: TrainModules) -> Callable:
 
             if isp:
                 half = r_weak.shape[0] // 2
-                rs_strong, rs_weak, _, stats = model_fwd(params, stats,
-                                                         x_real_shift, k_s3)
-                rf_strong, rf_weak, _, stats = model_fwd(params, stats,
-                                                         x_real_freq, k_s4)
-                ss_strong, ss_weak, _, stats = model_fwd(params, stats,
-                                                         x_syn_shift, k_s5)
-                sf_strong, sf_weak, _, stats = model_fwd(params, stats,
-                                                         x_syn_freq, k_s6)
+                if not fused:
+                    rs_strong, rs_weak, _, stats = model_fwd(
+                        params, stats, x_real_shift, k_s3)
+                    rf_strong, rf_weak, _, stats = model_fwd(
+                        params, stats, x_real_freq, k_s4)
+                    ss_strong, ss_weak, _, stats = model_fwd(
+                        params, stats, x_syn_shift, k_s5)
+                    sf_strong, sf_weak, _, stats = model_fwd(
+                        params, stats, x_syn_freq, k_s6)
                 # SCT classification losses (main_baseline.py:442-480)
                 weak_freq_loss = bce(sf_weak, syn_target_weak)
                 if real_weak_target is not None:
@@ -474,8 +566,10 @@ def make_train_step(modules: TrainModules) -> Callable:
                     loss = loss + 0.5 * (c_ss + c_sf)
 
             if use_mixup:
-                # ICT supervised mixup (main_baseline.py:132-145): mixed
-                # input scored against the lam-blended target
+                # ICT supervised strong mixup (main.py:426-432): mixed
+                # input scored against the λ-blended target (BCE is affine
+                # in the target, so this equals the reference's
+                # mixup_criterion λ-weighted pair of BCEs)
                 mixed_x, mixed_y, lam = mixup(k_mix, x_syn, syn_target,
                                               alpha=t.mixup_alpha)
                 mx_strong, _, _, stats = model_fwd(params, stats, mixed_x,
@@ -483,6 +577,30 @@ def make_train_step(modules: TrainModules) -> Callable:
                 mix_loss = bce(mx_strong, mixed_y)
                 m["mixup_strong_loss"] = mix_loss
                 loss = loss + mix_loss
+                # ICT supervised weak mixup on the labeled real half
+                # (main.py:386-392)
+                if real_weak_target is not None:
+                    w_half = x_real.shape[0] // 2
+                    mixed_xw, mixed_yw, _ = mixup(
+                        k_wmix, x_real[:w_half], real_weak_target[:w_half],
+                        alpha=t.mixup_alpha)
+                    _, mw_weak, _, stats = model_fwd(params, stats, mixed_xw,
+                                                     k_wmix2)
+                    mix_weak_loss = bce(mw_weak, mixed_yw)
+                    m["mixup_weak_class_loss"] = mix_weak_loss
+                    loss = loss + mix_weak_loss
+                # ICT unlabeled mixup-consistency vs the EMA teacher
+                # (main.py:459-470), weighted like the MT consistency terms
+                if mean_teacher and x_real is not None:
+                    u_strong, u_weak, _, stats = model_fwd(params, stats,
+                                                           mixed_x_u, k_umix2)
+                    c_u_strong = (t.mixup_consistency * cost
+                                  * mse(u_strong, mixed_strong_u))
+                    c_u_weak = (t.mixup_consistency * cost
+                                * mse(u_weak, mixed_weak_u))
+                    m["mixup_cons_strong_loss"] = c_u_strong
+                    m["mixup_cons_weak_loss"] = c_u_weak
+                    loss = loss + c_u_strong + c_u_weak
 
             if joint_da:
                 # domain loss from the MAIN forward's features, added to
@@ -544,15 +662,19 @@ def make_predict_fn(modules: TrainModules) -> Callable:
     evaluation_measures.py:163-182)."""
     cfg = modules.cfg
 
+    pred_has_stats = cfg.model.predictor_head == "crnn"
+
     @functools.partial(jax.jit, static_argnames=("inference", "apply_log"))
     def predict(params, batch_stats, mel, inference=False, apply_log=True):
         x = _log_input(mel) if apply_log else mel[..., None]
         enc, _ = modules.encoder.apply(
             {"params": params["encoder"],
              "batch_stats": batch_stats["encoder"]}, x, train=False)
-        strong, weak = modules.predictor.apply(
-            {"params": params["predictor"]}, enc, train=False,
-            inference=inference)
+        pred_vars = {"params": params["predictor"]}
+        if pred_has_stats:
+            pred_vars["batch_stats"] = batch_stats["predictor"]
+        strong, weak = modules.predictor.apply(pred_vars, enc, train=False,
+                                               inference=inference)
         return strong, weak
 
     return predict

@@ -162,6 +162,25 @@ class TaggingTrainer:
         return np.asarray(self._infer(self.params, self.batch_stats,
                                       jnp.asarray(mel)))
 
+    # -- persistence (lets the pseudo-labeling cycle run as separate CLI
+    #    commands, SURVEY.md §3.4) -----------------------------------------
+    def save(self, path: str) -> None:
+        import flax.serialization as fser
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        blob = fser.to_bytes({"params": self.params,
+                              "batch_stats": self.batch_stats})
+        with open(path, "wb") as f:
+            f.write(blob)
+
+    def load(self, path: str) -> None:
+        import flax.serialization as fser
+        with open(path, "rb") as f:
+            blob = f.read()
+        restored = fser.from_bytes({"params": self.params,
+                                    "batch_stats": self.batch_stats}, blob)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+
 
 def write_pseudo_labels(predict_weak: Callable[[np.ndarray], np.ndarray],
                         dataset, out_tsv: str, encoder: ManyHotEncoder,

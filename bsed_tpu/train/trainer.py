@@ -107,12 +107,23 @@ class Trainer:
         meters = AverageMeterSet()
         start = time.time()
         n_steps = 0
+        # device-side loss history: the host syncs only every 10th step (to
+        # keep dispatch pipelined), but the finiteness check covers EVERY
+        # step since the last sync — a NaN can surface at most 9 steps late,
+        # never silently (reference asserts per step, main_baseline.py:564)
+        pending_losses = []
         for batch in self.train_loader.epoch(epoch):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
                 self.state, batch, step_rng, jnp.asarray(epoch, jnp.float32))
+            pending_losses.append(metrics["loss"])
             n_steps += 1
             if n_steps % 10 == 0 or n_steps == len(self.train_loader):
+                losses = np.asarray(jnp.stack(pending_losses))
+                assert np.isfinite(losses).all() and (losses < 1e5).all(), \
+                    f"Loss explosion within steps " \
+                    f"{n_steps - len(losses) + 1}..{n_steps}: {losses}"
+                pending_losses = []
                 for k, v in metrics.items():
                     v = float(v)
                     assert not (np.isnan(v) or v > 1e5), \
@@ -136,7 +147,11 @@ class Trainer:
                  learned_post: bool = False) -> Dict[str, float]:
         params, stats = self._eval_params()
         pred_dfs = []
-        gt_events: Dict[str, list] = {}
+        # GT at original second resolution when available; frame-decoded
+        # reconstruction (32 ms quantized) only as fallback
+        true_events = loader.groundtruth_events()
+        gt_events: Dict[str, list] = true_events if true_events is not None \
+            else {}
         tagging = TaggingF1Accumulator(self.cfg.nclass)
         filenames_all = []
         for mel, target, names, n_valid in loader:
@@ -150,12 +165,13 @@ class Trainer:
                                          learned_post=learned_post))
             target = np.asarray(target)[:n_valid]
             if target.ndim == 3:
-                for b, name in enumerate(names):
-                    events = self.encoder_codec.decode_strong(target[b])
-                    sec = self.cfg.model.pooling_time_ratio / (
-                        self.cfg.audio.sr / self.cfg.audio.hop_size)
-                    gt_events[name] = [(l, a * sec, b_ * sec)
-                                       for (l, a, b_) in events]
+                if true_events is None:
+                    for b, name in enumerate(names):
+                        events = self.encoder_codec.decode_strong(target[b])
+                        sec = self.cfg.model.pooling_time_ratio / (
+                            self.cfg.audio.sr / self.cfg.audio.hop_size)
+                        gt_events[name] = [(l, a * sec, b_ * sec)
+                                           for (l, a, b_) in events]
                 tagging.update(weak, target.max(axis=1))
             else:
                 tagging.update(weak, target)

@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
+
 from bsed_tpu.config import AudioConfig, get_config
 
 SMALL_AUDIO = AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0)

@@ -1,0 +1,109 @@
+"""End-to-end CLI test of the pseudo-labeling cycle (SURVEY.md §3.4) plus
+the PSDS operating-point sweep — the reference's cross-script flow
+(audio_tagging_system_cnn.py → audio_tagging_inference.py:288-313 →
+main_scmt_ada_weak.py) as three shell commands on an on-disk fixture.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bsed_tpu.cli import main
+from bsed_tpu.config import AudioConfig, get_config
+
+TINY = AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0)
+
+
+def _write_split(root, sub, n, seed, cfg, with_annotations=True):
+    wav = os.path.join(root, sub, "wav")
+    ann = os.path.join(root, sub, "annotation")
+    os.makedirs(wav, exist_ok=True)
+    os.makedirs(ann, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        name = f"clip_{seed}_{i}"
+        feats = np.abs(rng.standard_normal(
+            (cfg.audio.max_frames, cfg.audio.n_mels))).astype(np.float32)
+        np.save(os.path.join(wav, name + ".npy"), feats)
+        if with_annotations:
+            k = int(rng.integers(1, 3))
+            rows = []
+            for _ in range(k):
+                onset = float(rng.uniform(0, cfg.audio.max_len_seconds * .6))
+                offset = onset + float(rng.uniform(0.2, 0.8))
+                label = cfg.bird_list[int(rng.integers(cfg.nclass))]
+                rows.append((label, onset,
+                             min(offset, cfg.audio.max_len_seconds)))
+            pd.DataFrame(rows, columns=["event_label", "onset",
+                                        "offset"]).to_csv(
+                os.path.join(ann, name + ".txt"), sep="\t", index=False)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cycle_root"))
+    cfg = get_config("baseline").replace(audio=TINY)
+    d = cfg.data
+    _write_split(root, os.path.join(d.synth_root, d.synth_feature_subdir),
+                 24, 1, cfg)
+    _write_split(root, os.path.join(d.dataset_root, d.train_weak_subdir),
+                 12, 2, cfg)
+    _write_split(root, os.path.join(d.dataset_root,
+                                    d.train_unlabeled_subdir),
+                 12, 3, cfg, with_annotations=False)
+    _write_split(root, os.path.join(d.dataset_root, d.val_subdir), 8, 4, cfg)
+    return root
+
+
+@pytest.mark.slow
+def test_pseudo_labeling_cycle_via_cli(data_root):
+    weights = os.path.join(data_root, "tagger.msgpack")
+    pl_tsv = os.path.join(data_root, "pl.tsv")
+    run_dir = os.path.join(data_root, "run")
+
+    # (1) train the weak tagger
+    main(["tag-train", "--tiny-audio", "--data-root", data_root,
+          "--epochs", "1", "--save", weights])
+    assert os.path.exists(weights)
+
+    # (2) write the pseudo-label TSV over the unlabeled set
+    main(["pseudo-label", "--tiny-audio", "--data-root", data_root,
+          "--weights", weights, "--out-tsv", pl_tsv])
+    df = pd.read_csv(pl_tsv, sep="\t")
+    assert list(df.columns) == ["filename", "event_labels"]
+    assert len(df) == 12
+
+    # (3) consume the TSV in a training preset
+    main(["train", "--tiny-audio", "--data-root", data_root,
+          "--preset", "scmt_ada_weak", "--epochs", "1",
+          "--pseudo-labels", pl_tsv, "--store-dir", run_dir])
+    assert os.path.exists(os.path.join(run_dir, "results.tsv"))
+
+    # (4) PSDS operating-point sweep + ROC dumps from the run's checkpoint
+    roc_dir = os.path.join(data_root, "roc")
+    main(["eval", "--tiny-audio", "--data-root", data_root,
+          "--preset", "scmt_ada_weak", "--store-dir", run_dir,
+          "--psds-sweep", "--n-thresholds", "5", "--roc-out", roc_dir])
+    for name in ("psds_ct0_st0", "psds_ct1_st0", "psds_ct0_st1"):
+        assert os.path.exists(os.path.join(roc_dir, f"roc_{name}.csv")), name
+
+
+@pytest.mark.slow
+def test_features_and_visualize_cli(data_root, tmp_path):
+    run_dir = os.path.join(data_root, "run")
+    if not os.path.exists(run_dir):
+        pytest.skip("cycle test must run first (module-scoped fixture)")
+    syn_dir = str(tmp_path / "emb_syn")
+    val_dir = str(tmp_path / "emb_val")
+    main(["features", "--tiny-audio", "--data-root", data_root,
+          "--preset", "scmt_ada_weak", "--store-dir", run_dir,
+          "--split", "syn", "--out-dir", syn_dir])
+    main(["features", "--tiny-audio", "--data-root", data_root,
+          "--preset", "scmt_ada_weak", "--store-dir", run_dir,
+          "--split", "val", "--out-dir", val_dir])
+    assert len(os.listdir(syn_dir)) > 0 and len(os.listdir(val_dir)) > 0
+    out = str(tmp_path / "viz")
+    main(["visualize", "--syn-features", syn_dir,
+          "--real-features", val_dir, "--out-dir", out])
+    assert os.path.exists(os.path.join(out, "tsne_points.npy"))

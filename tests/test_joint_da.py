@@ -1,6 +1,9 @@
 """Joint-backward domain adaptation (main_scmt_ada_weak wiring): domain
 loss added to the main loss, one backward updating model + discriminator."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
 
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,8 @@ bsed_tpu.utils.torch_compat and both stacks must agree in eval mode.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
 import torch
 
 import jax

@@ -10,11 +10,13 @@ def test_eight_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_executes():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -24,6 +26,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(strong)).all()
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_single_device():
     """The sharded supervised step must produce the same loss as the
     unsharded one (global-batch BN semantics under GSPMD)."""
@@ -57,3 +60,112 @@ def test_sharded_batch_matches_single_device():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=1e-5)
+
+
+def _mk_batch(cfg, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    t_in, f = cfg.audio.max_frames, cfg.audio.n_mels
+    return {
+        "syn": np.abs(rng.standard_normal((b, t_in, f))).astype(np.float32),
+        "syn_strong": (rng.random((b, cfg.n_frames, cfg.nclass)) > 0.9
+                       ).astype(np.float32),
+        "real": np.abs(rng.standard_normal((b, t_in, f))).astype(np.float32),
+        "real_weak": (rng.random((b, cfg.nclass)) > 0.8).astype(np.float32),
+    }
+
+
+def _sharded_vs_single(cfg, rtol=1e-5):
+    from bsed_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    modules = build_modules(cfg)
+    batch = _mk_batch(cfg)
+    step = make_train_step(modules)
+    state1 = create_train_state(cfg, modules, jax.random.key(0))
+    _, m1 = step(state1, batch, jax.random.key(1), jnp.asarray(0.0))
+
+    mesh = make_mesh()
+    state8 = replicate(mesh, create_train_state(cfg, modules,
+                                                jax.random.key(0)))
+    _, m8 = step(state8, shard_batch(mesh, batch), jax.random.key(1),
+                 jnp.asarray(0.0))
+    for key in m1:
+        np.testing.assert_allclose(float(m1[key]), float(m8[key]),
+                                   rtol=rtol, err_msg=key)
+
+
+@pytest.mark.slow
+def test_sharded_mt_isp_matches_single_device():
+    """MT+ISP (9 forwards, teacher/student BatchNorm threading) — the step
+    the driver's dryrun jits — must be sharding-invariant: per-stream BN
+    batch stats are GLOBAL means under GSPMD, so every metric matches the
+    unsharded run."""
+    from bsed_tpu.config import AudioConfig, get_config
+
+    cfg = get_config("baseline_mt_isp").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    _sharded_vs_single(cfg)
+
+
+@pytest.mark.slow
+def test_sharded_joint_da_matches_single_device():
+    """Joint-backward DA (discriminator co-update, main_scmt_ada_weak.py
+    lineage) under the data mesh."""
+    import dataclasses
+
+    from bsed_tpu.config import AudioConfig, get_config
+
+    cfg = get_config("scmt_ada_weak").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                stage="adaptation"))
+    assert cfg.da.joint_backward
+    _sharded_vs_single(cfg)
+
+
+def test_host_local_batch_slicing(monkeypatch):
+    """Deterministic host data sharding: each simulated process takes a
+    disjoint, covering slice of the global batch."""
+    from bsed_tpu.parallel import mesh as pm
+
+    slices = []
+    for i in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        slices.append(pm.host_local_batch(24))
+    idx = np.arange(24)
+    got = np.concatenate([idx[s] for s in slices])
+    assert sorted(got.tolist()) == idx.tolist()
+    assert len(idx[slices[0]]) == len(idx[slices[1]]) == 12
+
+
+def test_three_stream_loader_process_striding():
+    """ThreeStreamLoader process-strided loading: two simulated hosts see
+    disjoint syn items covering the dataset, with identical batch shapes."""
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.data.datasets import SyntheticDataSource
+    from bsed_tpu.data.pipeline import ThreeStreamLoader
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    syn = SyntheticDataSource(cfg, n_items=16, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=8, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=8, seed=3)
+
+    seen = []
+    for pi in range(2):
+        loader = ThreeStreamLoader(syn, weak, unlab, batch_size=4,
+                                   seed=7, shuffle=False,
+                                   process_index=pi, process_count=2)
+        assert len(loader) == 2          # 8 host items / bs 4
+        host_items = []
+        for batch in loader.epoch(0):
+            assert batch["syn"].shape[0] == 4
+            assert batch["real"].shape[0] == 4
+            host_items.append(batch["syn"])
+        seen.append(np.concatenate(host_items))
+    # strided slices are disjoint: host 0 gets even indices, host 1 odd
+    all_feats = np.stack([syn[i][0] for i in range(16)])
+    np.testing.assert_array_equal(seen[0], all_feats[0::2])
+    np.testing.assert_array_equal(seen[1], all_feats[1::2])

@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
 import torch
 
 import jax

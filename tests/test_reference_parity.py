@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
 import torch
 
 import jax.numpy as jnp

@@ -3,6 +3,8 @@ motion, EMA tracking, DA branches compile and run."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
+
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast core
+
 from bsed_tpu.config import AudioConfig, get_config
 from bsed_tpu.data.datasets import SyntheticDataSource
 from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
