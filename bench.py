@@ -78,11 +78,16 @@ def bench_train(iters: int = 20) -> dict:
             (bs, cfg.nclass)) > 0.8).astype(np.float32)),
     }
     epoch = jnp.asarray(0.0)
-    state, m = step(state, batch, jax.random.key(1), epoch)  # compile
+    # keys made OUTSIDE the timed loop: under the tunnel every extra tiny
+    # dispatch costs a ~27 ms round trip and can break step pipelining
+    keys = list(jax.random.split(jax.random.key(1), iters + 3))
+    jax.block_until_ready(keys)
+    for i in range(3):  # compile + pipeline warmup
+        state, m = step(state, batch, keys[i], epoch)
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
-        state, m = step(state, batch, jax.random.key(i + 2), epoch)
+        state, m = step(state, batch, keys[i + 3], epoch)
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     return {"train_ms_per_step": round(dt * 1e3, 2),

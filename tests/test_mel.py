@@ -105,6 +105,45 @@ def test_topdb_is_per_clip_in_batch():
     assert out[0].min() > out[1].max() - 80.0 - 1e-3 or out[0].min() == out[0].max()
 
 
+def test_factored_dft_matches_dense_and_golden():
+    """The two-stage Cooley–Tukey DFT (ops/mel.py factored_dft_magnitude)
+    must reproduce the dense DFT-matmul path; this pins the reshape /
+    twiddle / k-order un-shuffle algebra. (Precision-tier speed/error
+    trade-offs are TPU measurements — docs/PERF.md; on CPU all tiers
+    compute in fp32 so they coincide.)"""
+    cfg = AudioConfig()
+    rng = np.random.default_rng(3)
+    n = 32000
+    audio = rng.standard_normal((2, n)).astype(np.float32) * 0.1
+
+    dense = np.asarray(MelFrontEnd(cfg, algorithm="dense")(audio, log=True))
+    fact = np.asarray(MelFrontEnd(cfg, algorithm="factored")(audio, log=True))
+    assert np.max(np.abs(dense - fact)) < 1e-3  # dB
+
+    # and directly against the float64 torch-reference dB mel for clip 0
+    mag = _torch_stft_mag(audio[0])
+    fb = mel_filterbank(cfg.sr, cfg.n_window, cfg.n_mels,
+                        cfg.mel_f_min, cfg.mel_f_max, dtype=np.float64)
+    ref_db = 10 * np.log10(np.maximum(1e-10, (mag @ fb) ** 2))
+    ref_db = np.maximum(ref_db, ref_db.max() - 80)
+    assert np.max(np.abs(fact[0] - ref_db)) < 5e-2
+    assert np.abs(fact[0] - ref_db).mean() < 1e-3
+
+
+def test_precision_tiers_exist_and_run():
+    """'highest'/'high'/'fast' are valid precision tiers; all produce
+    finite, close outputs (identical math on CPU, different MXU pass
+    counts on TPU — measured 4.6e-4 / 8.0e-4 / 0.22 dB max err on v5e)."""
+    cfg = AudioConfig()
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    outs = [np.asarray(MelFrontEnd(cfg, precision=p)(audio, log=True))
+            for p in ("highest", "high", "fast")]
+    for o in outs:
+        assert np.isfinite(o).all()
+    assert np.max(np.abs(outs[0] - outs[1])) < 0.3  # loose: TPU-tier bound
+
+
 def test_front_end_end_to_end_shapes_and_mel_parity():
     cfg = AudioConfig()
     fe = MelFrontEnd(cfg)
