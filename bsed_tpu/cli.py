@@ -11,6 +11,7 @@ of 14 ``python main_X.py``/``TestModel.py``/tagging scripts
     python -m bsed_tpu.cli train --preset scmt_ada_weak \
         --pseudo-labels <tsv>                                     # cycle (3)
     python -m bsed_tpu.cli features / visualize / analyze
+    python -m bsed_tpu.cli predict --audio long.wav --out-tsv events.tsv
 
 Flags mirror the reference argparse surface (main_baseline.py:609-632):
 ``-fpn``/``--use-fpn``, ``-mt``/``--meanteacher``, ``-ISP``, ``-stage``,
@@ -321,6 +322,59 @@ def cmd_analyze(args):
                    os.path.join(args.out_dir, "dataset_time_analysis.csv"))
 
 
+def cmd_predict(args):
+    """Raw-audio sound-event inference: WAV/npy → decoded event TSV.
+
+    The reference has no one-command inference path — TestModel.py scores
+    pre-dumped mel features only. This drives the fused serving pipeline
+    (audio → on-device mel → CRNN → posterior → threshold → median filter →
+    events) end to end, with overlap-averaged windowing for recordings
+    longer than one clip (serve.py:predict_long_recording)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from bsed_tpu.config import get_config
+    from bsed_tpu.eval.decode import extract_events_batch
+    from bsed_tpu.ops.median import threshold_and_filter
+    from bsed_tpu.serve import make_fast_forward, predict_long_recording
+    from bsed_tpu.utils.audio import read_audio
+
+    cfg = _apply_flags(get_config(args.preset), args)
+    modules, params, stats = _load_eval_params(cfg, args)
+    forward = jax.jit(make_fast_forward(cfg, modules, params, stats,
+                                        precision=args.precision))
+
+    sec_per_frame = (cfg.model.pooling_time_ratio
+                     / (cfg.audio.sr / cfg.audio.hop_size))
+    rows = []
+    for path in args.audio:
+        if path.endswith(".npy"):
+            audio = np.load(path).astype(np.float32)
+        else:
+            audio, _ = read_audio(path, cfg.audio.sr)
+        strong, _spf = predict_long_recording(
+            forward, audio, cfg, batch_size=args.batch_size,
+            hop_seconds=args.hop_seconds)
+        act = threshold_and_filter(
+            jnp.asarray(strong)[None],
+            jnp.asarray([args.threshold], jnp.float32),
+            window=cfg.median_window,
+            windows=cfg.median_window_classwise if args.learned_post
+            else None)
+        _, _, c_idx, on_t, off_t = extract_events_batch(np.asarray(act))
+        name = os.path.basename(path)
+        for c, a, b in zip(c_idx, on_t, off_t):
+            rows.append((name, cfg.bird_list[c], a * sec_per_frame,
+                         b * sec_per_frame))
+    df = pd.DataFrame(rows, columns=["filename", "event_label", "onset",
+                                     "offset"])
+    df.to_csv(args.out_tsv, sep="\t", index=False, float_format="%.3f")
+    print(f"{len(df)} events from {len(args.audio)} recording(s) "
+          f"-> {args.out_tsv}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bsed_tpu",
                                 description="TPU-native bird-SED framework")
@@ -363,6 +417,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--roc-out", default=None,
                     help="directory for ROC curve CSV/PNG dumps")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("predict",
+                        help="raw audio (wav/npy) -> decoded event TSV")
+    common(sp)
+    sp.add_argument("--audio", nargs="+", required=True,
+                    help="wav or raw-audio .npy file(s), any length")
+    sp.add_argument("--out-tsv", required=True)
+    sp.add_argument("--tag", default="best")
+    sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--learned-post", action="store_true",
+                    help="class-wise median windows instead of the fixed one")
+    sp.add_argument("--hop-seconds", type=float, default=None,
+                    help="window hop for long recordings (default: one clip)")
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--precision", default="high",
+                    choices=["highest", "high", "fast"])
+    sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("tag-train",
                         help="train the weak audio tagger (cycle step 1)")

@@ -15,14 +15,13 @@ to [0, max_len_seconds] (evaluation_measures.py:208-209).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from bsed_tpu.config import Config
-from bsed_tpu.data.codec import find_contiguous_regions
 from bsed_tpu.ops.median import threshold_and_filter
 
 
@@ -48,21 +47,48 @@ def decode_batch(
     filtered = np.asarray(filtered)  # (K, B, T, C)
 
     sec_per_frame = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
+    k_idx, b_idx, c_idx, on_t, off_t = extract_events_batch(filtered)
+    onset = np.clip(on_t * sec_per_frame, 0.0, cfg.audio.max_len_seconds)
+    offset = np.clip(off_t * sec_per_frame, 0.0, cfg.audio.max_len_seconds)
+    label_arr = np.asarray(labels, dtype=object)
+    fname_arr = np.asarray(list(filenames), dtype=object)
+
     out: Dict[float, pd.DataFrame] = {}
     for k, th in enumerate(thresholds):
-        rows: List[Tuple[str, float, float, str]] = []
-        for b, fname in enumerate(filenames):
-            act = filtered[k, b]  # (T, C)
-            for c in range(act.shape[1]):
-                for a, bb in find_contiguous_regions(act[:, c]):
-                    onset = min(max(a * sec_per_frame, 0.0),
-                                cfg.audio.max_len_seconds)
-                    offset = min(max(bb * sec_per_frame, 0.0),
-                                 cfg.audio.max_len_seconds)
-                    rows.append((labels[c], onset, offset, fname))
-        out[th] = pd.DataFrame(
-            rows, columns=["event_label", "onset", "offset", "filename"])
+        m = k_idx == k
+        out[th] = pd.DataFrame({
+            "event_label": label_arr[c_idx[m]],
+            "onset": onset[m],
+            "offset": offset[m],
+            "filename": fname_arr[b_idx[m]],
+        })
     return out
+
+
+def extract_events_batch(act: np.ndarray):
+    """All contiguous 1-runs of a (K, B, T, C) binary activity tensor in one
+    vectorized pass (no per-clip/per-class Python loop — the reference loops
+    clip × threshold × class on host, evaluation_measures.py:188-215).
+
+    Returns (k_idx, b_idx, c_idx, onset_frame, offset_frame) int arrays, one
+    entry per event, offsets exclusive, ordered lexicographically by
+    (k, b, c, onset). Equivalent to find_contiguous_regions per column
+    (tests/test_decode_metrics.py pins the equivalence).
+    """
+    k, b, t, c = act.shape
+    # (K, B, C, T) zero-padded along time: diff == +1 at onsets, -1 at the
+    # frame AFTER the last active one (exclusive offset), both in-range.
+    padded = np.zeros((k, b, c, t + 2), np.int8)
+    padded[..., 1:-1] = act.transpose(0, 1, 3, 2)
+    d = np.diff(padded, axis=-1)
+    on_k, on_b, on_c, on_t = np.nonzero(d == 1)
+    _, _, _, off_t = np.nonzero(d == -1)
+    # np.nonzero is lexicographic in (k, b, c, t) and every run opens before
+    # it closes, so onsets and offsets pair positionally within each column.
+    # d[i] = padded[i+1] - padded[i] with padded[j] = a[j-1]: d[i] == +1 ⇒
+    # a[i] starts a run (onset = i); d[i] == −1 ⇒ a[i-1] was the last active
+    # frame (exclusive stop = i) — matching find_contiguous_regions exactly.
+    return on_k, on_b, on_c, on_t, off_t
 
 
 def merge_prediction_dfs(dfs: Sequence[Dict[float, pd.DataFrame]]

@@ -107,3 +107,33 @@ def test_features_and_visualize_cli(data_root, tmp_path):
     main(["visualize", "--syn-features", syn_dir,
           "--real-features", val_dir, "--out-dir", out])
     assert os.path.exists(os.path.join(out, "tsne_points.npy"))
+
+
+@pytest.mark.slow
+def test_predict_cli_on_raw_audio(data_root, tmp_path):
+    """`predict`: raw audio (longer than one clip) -> event TSV through the
+    fused serving path + overlap windowing + vectorized decode."""
+    run_dir = os.path.join(data_root, "pred_run")
+    main(["train", "--tiny-audio", "--data-root", data_root,
+          "--preset", "baseline", "--epochs", "1", "--store-dir", run_dir])
+
+    cfg = get_config("baseline").replace(audio=TINY)
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal(int(2.5 * cfg.audio.n_samples)
+                                ).astype(np.float32) * 0.1
+    wav_npy = str(tmp_path / "long_recording.npy")
+    np.save(wav_npy, audio)
+
+    out_tsv = str(tmp_path / "events.tsv")
+    main(["predict", "--tiny-audio", "--data-root", data_root,
+          "--preset", "baseline", "--store-dir", run_dir,
+          "--audio", wav_npy, "--out-tsv", out_tsv,
+          "--threshold", "0.1"])
+    df = pd.read_csv(out_tsv, sep="\t")
+    assert list(df.columns) == ["filename", "event_label", "onset", "offset"]
+    if len(df):
+        assert (df["offset"] > df["onset"]).all()
+        assert df["onset"].min() >= 0.0
+        # events may land anywhere on the 2.5-clip timeline
+        assert df["offset"].max() <= 2.5 * cfg.audio.max_len_seconds + 1.0
+        assert set(df["event_label"]) <= set(cfg.bird_list)

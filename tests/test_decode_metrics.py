@@ -190,3 +190,29 @@ def test_operating_point_sweep_and_psds_report():
     assert psds["psds_ct1_st0"] <= psds["psds_ct0_st0"] + 1e-9
     assert psds["psds_ct0_st1"] <= psds["psds_ct0_st0"] + 1e-9
     assert len(default_thresholds()) == 50
+
+
+def test_extract_events_batch_matches_per_column_loop():
+    """The one-pass vectorized run-length extraction over (K, B, T, C) must
+    agree exactly with find_contiguous_regions applied per column."""
+    from bsed_tpu.data.codec import find_contiguous_regions
+    from bsed_tpu.eval.decode import extract_events_batch
+
+    rng = np.random.default_rng(7)
+    act = (rng.random((3, 4, 37, 5)) > 0.6).astype(np.uint8)
+    # edge cases: all-on column, all-off column, single-frame runs
+    act[0, 0, :, 0] = 1
+    act[0, 0, :, 1] = 0
+    act[1, 2, ::2, 3] = 1
+
+    k_i, b_i, c_i, on_t, off_t = extract_events_batch(act)
+    got = set(zip(k_i.tolist(), b_i.tolist(), c_i.tolist(),
+                  on_t.tolist(), off_t.tolist()))
+    want = set()
+    for k in range(act.shape[0]):
+        for b in range(act.shape[1]):
+            for c in range(act.shape[3]):
+                for a, z in find_contiguous_regions(act[k, b, :, c]):
+                    want.add((k, b, c, int(a), int(z)))
+    assert got == want
+    assert (off_t > on_t).all()
