@@ -21,7 +21,7 @@ CLIP_SAMPLES = 320000   # 10 s @ 32 kHz
 N_MELS = 128
 
 
-def bench_tpu(batch_size: int = 64, iters: int = 10) -> float:
+def bench_tpu(batch_size: int = 64, iters: int = 10):
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, ".")
@@ -34,15 +34,32 @@ def bench_tpu(batch_size: int = 64, iters: int = 10) -> float:
         (batch_size, CLIP_SAMPLES)).astype(np.float32))
 
     # warmup / compile
-    out = fn(audio)
+    compiled = fn.lower(audio).compile()
+    out = compiled(audio)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(audio)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    # fastest-of-3 windows: robust to transient host-core contention
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(audio)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+
+    # logical-FLOP utilization from XLA's own cost model (v5e bf16 peak
+    # ~197 TFLOP/s; 'high' precision issues ~3 MXU passes per logical
+    # matmul FLOP, so the MXU-issue utilization is ~3x this number)
+    flops_util = None
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            flops_util = flops * iters / dt / 197e12
+    except Exception:
+        pass
+    return batch_size * iters / dt, flops_util
 
 
 def bench_train(iters: int = 20) -> dict:
@@ -79,19 +96,27 @@ def bench_train(iters: int = 20) -> dict:
     }
     epoch = jnp.asarray(0.0)
     # keys made OUTSIDE the timed loop: under the tunnel every extra tiny
-    # dispatch costs a ~27 ms round trip and can break step pipelining
-    keys = list(jax.random.split(jax.random.key(1), iters + 3))
+    # dispatch costs a ~27 ms round trip and can break step pipelining.
+    # Timed as fastest-of-4 windows: the measurement is host-dispatch
+    # sensitive, so a busy host core inflates the mean but not the best
+    # window.
+    windows = 4
+    keys = list(jax.random.split(jax.random.key(1), windows * iters + 3))
     jax.block_until_ready(keys)
     for i in range(3):  # compile + pipeline warmup
         state, m = step(state, batch, keys[i], epoch)
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, keys[i + 3], epoch)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    return {"train_ms_per_step": round(dt * 1e3, 2),
-            "train_clips_per_s": round(2 * bs / dt, 1)}
+    best = float("inf")
+    k = 3
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, keys[k], epoch)
+            k += 1
+        jax.block_until_ready(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {"train_ms_per_step": round(best * 1e3, 2),
+            "train_clips_per_s": round(2 * bs / best, 1)}
 
 
 def bench_cpu_baseline(n_clips: int = 4) -> float:
@@ -123,21 +148,27 @@ def bench_cpu_baseline(n_clips: int = 4) -> float:
             return predictor(enc)
 
     pipeline(audio[:1])  # warmup
-    t0 = time.perf_counter()
-    pipeline(audio)
-    dt = time.perf_counter() - t0
+    # best-of-3: a busy host core must not slow the baseline (that would
+    # inflate vs_baseline dishonestly)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipeline(audio)
+        dt = min(dt, time.perf_counter() - t0)
     return n_clips / dt
 
 
 def main():
     cpu_clips_per_sec = bench_cpu_baseline()
-    tpu_clips_per_sec = bench_tpu()
+    tpu_clips_per_sec, flops_util = bench_tpu()
     result = {
         "metric": "fused mel+CRNN inference clips/s (one chip)",
         "value": round(tpu_clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(tpu_clips_per_sec / cpu_clips_per_sec, 2),
     }
+    if flops_util is not None:
+        result["logical_flops_utilization"] = round(flops_util, 4)
     try:
         result.update(bench_train())
     except Exception as e:  # train bench is auxiliary — never break the line

@@ -107,7 +107,8 @@ def cmd_train(args):
     trainer = Trainer(cfg, train_loader, val_loader=val_loader,
                       syn_eval_loader=syn_eval if args.eval_syn else None,
                       store_dir=args.store_dir,
-                      use_tensorboard=args.tensorboard)
+                      use_tensorboard=args.tensorboard,
+                      profile_dir=args.profile_dir)
     best = trainer.fit(n_epochs=args.epochs, start_epoch=args.start_epoch)
     print(best)
 
@@ -403,6 +404,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--start-epoch", type=int, default=0)
     sp.add_argument("--eval-syn", action="store_true")
     sp.add_argument("--tensorboard", action="store_true")
+    sp.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace of the first "
+                         "trained epoch into this directory")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")

@@ -25,6 +25,7 @@ import pandas as pd
 from bsed_tpu.config import Config
 from bsed_tpu.data.codec import ManyHotEncoder
 from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
+from bsed_tpu.data.prefetch import prefetch
 from bsed_tpu.eval.decode import (decode_batch, durations_df,
                                   groundtruth_df_from_events,
                                   merge_prediction_dfs)
@@ -44,8 +45,12 @@ class Trainer:
                  val_loader: Optional[EvalLoader] = None,
                  syn_eval_loader: Optional[EvalLoader] = None,
                  store_dir: Optional[str] = None,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False,
+                 profile_dir: Optional[str] = None):
         self.cfg = cfg
+        # when set, the first trained epoch is captured as a jax.profiler
+        # device trace (TensorBoard/Perfetto) — utils/profiling.py
+        self.profile_dir = profile_dir
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.syn_eval_loader = syn_eval_loader
@@ -112,7 +117,7 @@ class Trainer:
         # step since the last sync — a NaN can surface at most 9 steps late,
         # never silently (reference asserts per step, main_baseline.py:564)
         pending_losses = []
-        for batch in self.train_loader.epoch(epoch):
+        for batch in prefetch(self.train_loader.epoch(epoch), depth=2):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
                 self.state, batch, step_rng, jnp.asarray(epoch, jnp.float32))
@@ -199,7 +204,12 @@ class Trainer:
             self.resume(start_epoch)
         best = {}
         for epoch in range(start_epoch, n_epochs):
-            train_metrics = self.train_epoch(epoch)
+            if self.profile_dir and epoch == start_epoch:
+                from bsed_tpu.utils.profiling import trace
+                with trace(self.profile_dir):
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             row = {"epoch": epoch, **train_metrics}
             if self.syn_eval_loader is not None:
                 syn_scores = self.evaluate(self.syn_eval_loader)

@@ -73,9 +73,31 @@ def test_trainer_fit_eval_checkpoint_resume(tmp_path):
 
 def test_training_learns_on_synthetic(tmp_path):
     """The synthetic source plants class-correlated energy; a few epochs of
-    supervised training must beat the untrained model's loss clearly."""
-    trainer = make_trainer(tmp_path, n_items=24, batch=8)
+    supervised training must beat the untrained model's loss clearly.
+
+    Uses a constant lr: the baseline preset's reference-faithful schedule
+    (adjust_lr=True, exp rampup over 50 epochs — config_baseline.py:97-99)
+    leaves lr ≈ 1e-5 within the 6 epochs this test can afford, which tests
+    the schedule, not learning."""
+    base = get_config("baseline").train
+    flat_lr = base.__class__(**{**base.__dict__, "adjust_lr": False,
+                                "max_learning_rate": 5e-4})
+    trainer = make_trainer(tmp_path, n_items=24, batch=8, train=flat_lr)
     first = trainer.train_epoch(0)
     for e in range(1, 6):
         last = trainer.train_epoch(e)
     assert last["loss"] < first["loss"] * 0.8
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """profile_dir wires utils/profiling.trace into the first fit epoch:
+    a jax.profiler trace directory must exist afterwards."""
+    import os
+
+    trainer = make_trainer(tmp_path, n_items=8, batch=4)
+    trainer.profile_dir = str(tmp_path / "trace")
+    trainer.fit(n_epochs=1)
+    found = []
+    for root, _dirs, files in os.walk(trainer.profile_dir):
+        found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz", ".json.gz"))]
+    assert found, "no profiler trace files written"

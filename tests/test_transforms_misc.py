@@ -102,3 +102,35 @@ def test_scaler_json_roundtrip(tmp_path):
     s2 = Scaler().load(path)
     np.testing.assert_allclose(s2.mean_, s.mean_)
     np.testing.assert_allclose(s2.std_, s.std_)
+
+
+def test_prefetch_order_exceptions_and_bound():
+    import threading
+    import time as _time
+
+    from bsed_tpu.data.prefetch import prefetch
+
+    # order + completeness
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+    assert list(prefetch(iter([]), depth=2)) == []
+
+    # producer exceptions re-raise at the consumer
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer failed"):
+        list(it)
+
+    # bounded lookahead: with depth=2 the producer can run at most
+    # depth + 1 items ahead of the consumer (queue + the put in flight)
+    produced = []
+    def tracked():
+        for i in range(50):
+            produced.append(i)
+            yield i
+    it = prefetch(tracked(), depth=2)
+    next(it)
+    _time.sleep(0.2)
+    assert len(produced) <= 1 + 2 + 1
