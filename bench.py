@@ -160,6 +160,15 @@ def bench_cpu_baseline(n_clips: int = 4) -> float:
 
 def main():
     cpu_clips_per_sec = bench_cpu_baseline()
+    # train bench MUST run before the serving bench: executing the serving
+    # program leaves this process in a state where subsequent small-step
+    # dispatch serializes at ~137 ms/step (vs 1.5 ms in a fresh process;
+    # reproduced deterministically, survives gc + jax.clear_caches()).
+    # Order the measurements instead of paying a subprocess.
+    try:
+        train_metrics = bench_train()
+    except Exception as e:  # train bench is auxiliary — never break the line
+        train_metrics = {"train_bench_error": f"{type(e).__name__}: {e}"}
     tpu_clips_per_sec, flops_util = bench_tpu()
     result = {
         "metric": "fused mel+CRNN inference clips/s (one chip)",
@@ -169,10 +178,7 @@ def main():
     }
     if flops_util is not None:
         result["logical_flops_utilization"] = round(flops_util, 4)
-    try:
-        result.update(bench_train())
-    except Exception as e:  # train bench is auxiliary — never break the line
-        result["train_bench_error"] = f"{type(e).__name__}: {e}"
+    result.update(train_metrics)
     print(json.dumps(result))
 
 
