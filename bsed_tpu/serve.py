@@ -145,3 +145,29 @@ def predict_long_recording(forward: Callable, audio, cfg: Config,
     mask = cnt[:, 0] > 0
     acc[mask] /= cnt[mask]
     return acc[mask].astype(np.float32), sec_per_frame
+
+
+def make_sharded_forward(cfg: Config, modules: TrainModules, params: Dict,
+                         batch_stats: Dict, mesh,
+                         precision: str = "high") -> Callable:
+    """Data-parallel serving over a device mesh.
+
+    The reference serves on one GPU (SURVEY.md §2.3); here the whole
+    audio→mel→CRNN→posterior program runs SPMD over ``mesh``: the batch is
+    sharded on the data axis, parameters are replicated, and GSPMD needs
+    ZERO collectives — the pipeline is embarrassingly parallel over clips,
+    so throughput scales linearly over ICI with no cross-chip traffic.
+
+    Returns ``forward(audio (B, n_samples)) -> (strong, weak)`` with B
+    divisible by the mesh size; shard the input with
+    ``parallel.mesh.shard_batch`` (or hand it host-local shards under
+    multi-host via ``host_local_batch``).
+    """
+    from bsed_tpu.parallel.mesh import batch_sharding, replicate
+
+    params = replicate(mesh, params)
+    batch_stats = replicate(mesh, batch_stats)
+    fwd = make_fast_forward(cfg, modules, params, batch_stats,
+                            precision=precision)
+    shard = batch_sharding(mesh)
+    return jax.jit(fwd, in_shardings=shard, out_shardings=shard)

@@ -169,3 +169,40 @@ def test_three_stream_loader_process_striding():
     all_feats = np.stack([syn[i][0] for i in range(16)])
     np.testing.assert_array_equal(seen[0], all_feats[0::2])
     np.testing.assert_array_equal(seen[1], all_feats[1::2])
+
+
+def test_sharded_serving_matches_single_device():
+    """make_sharded_forward over the 8-device mesh must reproduce the
+    unsharded serving posteriors exactly (pure data parallelism: zero
+    collectives, batch rows independent)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.parallel.mesh import make_mesh, shard_batch
+    from bsed_tpu.serve import make_fast_forward, make_sharded_forward
+    from bsed_tpu.train.steps import build_modules, create_train_state
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    audio = np.random.default_rng(0).standard_normal(
+        (8, cfg.audio.n_samples)).astype(np.float32) * 0.1
+
+    ref_fwd = jax.jit(make_fast_forward(cfg, modules, state.params,
+                                        state.batch_stats))
+    ref_strong, ref_weak = ref_fwd(jnp.asarray(audio))
+
+    mesh = make_mesh(jax.devices()[:8])
+    fwd = make_sharded_forward(cfg, modules, state.params,
+                               state.batch_stats, mesh,
+                               precision="highest")
+    strong, weak = fwd(shard_batch(mesh, jnp.asarray(audio)))
+    np.testing.assert_allclose(np.asarray(strong), np.asarray(ref_strong),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(weak), np.asarray(ref_weak),
+                               atol=1e-6)
