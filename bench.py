@@ -38,12 +38,18 @@ def bench_tpu(batch_size: int = 64, iters: int = 10):
     out = compiled(audio)
     jax.block_until_ready(out)
 
+    # distinct input per iteration: measured identical to the same-args
+    # loop (36.6 vs 36.7 ms/iter), kept as insurance against any
+    # same-value result caching in experimental backends
+    audios = [audio + jnp.float32(i + 1) * 1e-6 for i in range(iters)]
+    jax.block_until_ready(audios)
+
     # fastest-of-3 windows: robust to transient host-core contention
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled(audio)
+        for a in audios:
+            out = compiled(a)
         jax.block_until_ready(out)
         dt = min(dt, time.perf_counter() - t0)
 
