@@ -85,6 +85,23 @@ class NpyFeatureDataset:
             features, target = self._load(index)
         return features, target, self.files[index]
 
+    def as_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The whole dataset as two contiguous arrays
+        ((N, T, F) features, (N, Tf, C) strong targets), built once.
+
+        Enables the loader's vectorized batch-gather fast path: one fancy
+        index replaces a per-item Python loop + np.stack — measured 4.0 →
+        ~1 ms/batch on a 200-clip dataset, which matters because the jitted
+        train step itself is ~1 ms."""
+        if not hasattr(self, "_arrays"):
+            items = [self._load(i) for i in range(len(self))]
+            self._arrays = (
+                np.ascontiguousarray(np.stack([f for f, _ in items])),
+                np.ascontiguousarray(np.stack([t for _, t in items])))
+            if self.in_memory:
+                self._cache.clear()  # the big arrays supersede the cache
+        return self._arrays
+
 
 class PseudoLabeledDataset:
     """Unlabeled stream with weak pseudo-labels from a TSV
@@ -132,6 +149,17 @@ class PseudoLabeledDataset:
         target = self.encoder.encode_weak(
             [labels] if labels else []).astype(np.float32)
         return features, target, self.files[index]
+
+    def as_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(N, T, F) features + (N, C) weak pseudo-label targets as two
+        contiguous arrays for the loader's batch-gather fast path."""
+        if not hasattr(self, "_arrays"):
+            items = [self[i] for i in range(len(self))]
+            self._arrays = (
+                np.ascontiguousarray(np.stack([f for f, _, _ in items])),
+                np.ascontiguousarray(np.stack([t for _, t, _ in items])))
+            self._cache.clear()
+        return self._arrays
 
 
 class ConcatDataset:
@@ -214,3 +242,13 @@ class SyntheticDataSource:
         if self.weak_only:
             return features, strong.max(axis=0), self.filename(index)
         return features, strong, self.filename(index)
+
+    def as_arrays(self) -> "Tuple[np.ndarray, np.ndarray]":
+        """Contiguous dataset arrays for the loader batch-gather fast
+        path (generated once, deterministic)."""
+        if not hasattr(self, "_arrays"):
+            items = [self[i] for i in range(len(self))]
+            self._arrays = (
+                np.ascontiguousarray(np.stack([f for f, _, _ in items])),
+                np.ascontiguousarray(np.stack([t for _, t, _ in items])))
+        return self._arrays

@@ -27,10 +27,20 @@ def _epoch_order(n: int, rng: np.random.Generator, shuffle: bool) -> np.ndarray:
     return rng.permutation(idx) if shuffle else idx
 
 
+def _cat(a, b):
+    """Concatenate on whichever library owns the arrays — np.concatenate on
+    device-resident jax arrays would silently round-trip through host."""
+    if isinstance(a, np.ndarray):
+        return np.concatenate([a, b])
+    import jax.numpy as jnp
+    return jnp.concatenate([a, b])
+
+
 class ThreeStreamLoader:
     def __init__(self, syn_dataset, weak_dataset=None, unlabeled_dataset=None,
                  batch_size: int = 12, seed: int = 2023, shuffle: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 device_resident: Optional[bool] = None):
         self.syn = syn_dataset
         self.weak = weak_dataset
         self.unlab = unlabeled_dataset
@@ -40,6 +50,15 @@ class ThreeStreamLoader:
         self.shuffle = shuffle
         self.process_index = process_index
         self.process_count = process_count
+        # device-resident datasets: hold the contiguous dataset arrays in
+        # HBM once and assemble batches by ON-DEVICE gather — batch
+        # assembly drops from host-memcpy speed (~4 ms) to a dispatched
+        # gather (~µs), which matters against a ~1 ms jitted step. None =
+        # auto: on when an accelerator is the default backend and the
+        # arrays fit comfortably (the full reference dataset is ~2-3 GB vs
+        # 16 GB HBM).
+        self.device_resident = device_resident
+        self._dev_arrays: Dict[int, tuple] = {}
 
     def __len__(self):
         return len(self._host_indices(len(self.syn))) // self.batch_size
@@ -54,7 +73,64 @@ class ThreeStreamLoader:
             order = base[
                 rng.permutation(len(base))] if self.shuffle else base
             for i in range(0, len(order) - per_batch + 1, per_batch):
-                yield order[i:i + per_batch].tolist()
+                yield order[i:i + per_batch]
+
+    def _arrays_of(self, dataset):
+        """Contiguous (features, targets) arrays when the dataset supports
+        the batch-gather fast path (one fancy index per batch instead of a
+        per-item Python loop + np.stack), optionally placed in device
+        memory (see ``device_resident``)."""
+        fn = getattr(dataset, "as_arrays", None)
+        if fn is None:
+            return None
+        arrays = fn()
+        if not self._use_device(arrays):
+            return arrays
+        key = id(dataset)
+        if key not in self._dev_arrays:
+            import jax.numpy as jnp
+            self._dev_arrays[key] = tuple(jnp.asarray(a) for a in arrays)
+        return self._dev_arrays[key]
+
+    def _assemble_real(self, weak_arr, unlab_arr, w_ids, u_ids):
+        """The real-stream gather/reduce/concat as ONE program.
+
+        On the device path every numpy-style op on a jax array is its own
+        dispatch (~10 per batch adds up against a ~1 ms step), so the whole
+        assembly is jitted once; on the host path it runs as plain numpy.
+        """
+        wt_rank = weak_arr[1].ndim
+        ut_rank = unlab_arr[1].ndim
+
+        def asm(wf, wt, uf, ut, wi, ui):
+            real = _cat(wf[wi], uf[ui])
+            w_weak = wt[wi]
+            u_weak = ut[ui]
+            w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
+            u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
+            out = {"real": real, "real_weak": _cat(w_red, u_red)}
+            if wt_rank == 3 and ut_rank == 3:
+                out["real_strong"] = _cat(w_weak, u_weak)
+            return out
+
+        if isinstance(weak_arr[0], np.ndarray):
+            return asm(*weak_arr, *unlab_arr, w_ids, u_ids)
+        if not hasattr(self, "_assemble_jit"):
+            import jax
+            self._assemble_jit = jax.jit(asm)
+        return self._assemble_jit(*weak_arr, *unlab_arr, w_ids, u_ids)
+
+    def _use_device(self, arrays) -> bool:
+        if self.device_resident is not None:
+            return self.device_resident
+        try:
+            import jax
+            if jax.default_backend() == "cpu":
+                return False
+            nbytes = sum(a.nbytes for a in arrays)
+            return nbytes < 4 * 1024 ** 3
+        except Exception:
+            return False
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
@@ -65,33 +141,50 @@ class ThreeStreamLoader:
                        if self.weak is not None else None)
         unlab_stream = (self._stream(self.unlab, self.half, rng)
                         if self.unlab is not None else None)
+        syn_arr = self._arrays_of(self.syn)
+        weak_arr = self._arrays_of(self.weak) if self.weak is not None \
+            else None
+        unlab_arr = self._arrays_of(self.unlab) if self.unlab is not None \
+            else None
 
         for b in range(len(self)):
             ids = syn_idx[order[b * self.batch_size:(b + 1) * self.batch_size]]
-            syn_items = [self.syn[i] for i in ids]
-            batch = {
-                "syn": np.stack([it[0] for it in syn_items]),
-                "syn_strong": np.stack([it[1] for it in syn_items]),
-            }
+            if syn_arr is not None:
+                batch = {"syn": syn_arr[0][ids],
+                         "syn_strong": syn_arr[1][ids]}
+            else:
+                syn_items = [self.syn[i] for i in ids]
+                batch = {
+                    "syn": np.stack([it[0] for it in syn_items]),
+                    "syn_strong": np.stack([it[1] for it in syn_items]),
+                }
             if weak_stream is not None and unlab_stream is not None:
-                weak_items = [self.weak[i] for i in next(weak_stream)]
-                unlab_items = [self.unlab[i] for i in next(unlab_stream)]
-                batch["real"] = np.stack(
-                    [it[0] for it in weak_items]
-                    + [it[0] for it in unlab_items])
-                # weak stream carries strong targets → reduce to weak
-                weak_targets = [
-                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
-                    for it in weak_items]
-                pl_targets = [
-                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
-                    for it in unlab_items]
-                batch["real_weak"] = np.stack(weak_targets + pl_targets)
-                # ENA-supervised variant needs real strong targets too
-                if all(it[1].ndim == 2 for it in weak_items + unlab_items):
-                    batch["real_strong"] = np.stack(
-                        [it[1] for it in weak_items]
-                        + [it[1] for it in unlab_items])
+                w_ids = next(weak_stream)
+                u_ids = next(unlab_stream)
+                if weak_arr is not None and unlab_arr is not None:
+                    batch.update(self._assemble_real(
+                        weak_arr, unlab_arr, np.asarray(w_ids),
+                        np.asarray(u_ids)))
+                else:
+                    weak_items = [self.weak[i] for i in w_ids]
+                    unlab_items = [self.unlab[i] for i in u_ids]
+                    batch["real"] = np.stack(
+                        [it[0] for it in weak_items]
+                        + [it[0] for it in unlab_items])
+                    # weak stream carries strong targets → reduce to weak
+                    weak_targets = [
+                        it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                        for it in weak_items]
+                    pl_targets = [
+                        it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                        for it in unlab_items]
+                    batch["real_weak"] = np.stack(weak_targets + pl_targets)
+                    # ENA-supervised variant needs real strong targets too
+                    if all(it[1].ndim == 2
+                           for it in weak_items + unlab_items):
+                        batch["real_strong"] = np.stack(
+                            [it[1] for it in weak_items]
+                            + [it[1] for it in unlab_items])
             yield batch
 
 

@@ -101,3 +101,24 @@ def test_profile_dir_captures_trace(tmp_path):
     for root, _dirs, files in os.walk(trainer.profile_dir):
         found += [f for f in files if f.endswith((".xplane.pb", ".trace.json.gz", ".json.gz"))]
     assert found, "no profiler trace files written"
+
+
+def test_device_resident_loader_matches_host_path(tmp_path):
+    """The device-resident batch-gather path (arrays in device memory, one
+    jitted gather/reduce/concat program per batch) must produce exactly the
+    host path's batches."""
+    cfg = get_config("baseline").replace(audio=SMALL_AUDIO)
+    syn = SyntheticDataSource(cfg, n_items=20, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=6, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=6, seed=3, weak_only=True)
+    dev = ThreeStreamLoader(syn, weak, unlab, batch_size=4,
+                            device_resident=True)
+    host = ThreeStreamLoader(syn, weak, unlab, batch_size=4,
+                             device_resident=False)
+    db, hb = list(dev.epoch(5)), list(host.epoch(5))
+    assert len(db) == len(hb) == 5
+    for a, b in zip(db, hb):
+        assert set(a) == set(b)
+        for k in a:
+            assert not isinstance(a[k], np.ndarray), k   # on device
+            np.testing.assert_array_equal(np.asarray(a[k]), b[k])
