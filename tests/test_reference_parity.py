@@ -124,3 +124,90 @@ def test_crnn_fpn_reference_parity(ref_models, tmp_path):
     cfg = get_config("baseline")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_fpn=True))
     _assert_parity(cfg, ckpt, crnn, predictor, seed=5)
+
+
+def test_supervised_gradient_parity(ref_models, tmp_path):
+    """Training-dynamics parity, one level deeper than posteriors: for the
+    supervised loss (BCE strong + BCE weak, the main_baseline.py:431-474
+    core), per-parameter gradients of the jax model must match torch
+    autograd through the REAL reference classes on identical weights and
+    identical inputs. Torch grads are mapped into the jax layout by the
+    same converters that map the weights (transposes/permutes carry
+    gradients identically)."""
+    import jax
+    from bsed_tpu.eval.test_model import load_torch_checkpoint
+    from bsed_tpu.train.losses import bce
+    from bsed_tpu.train.steps import build_modules
+    from bsed_tpu.utils import torch_compat as tc
+
+    grl_mod, _ = ref_models
+    torch.manual_seed(21)
+    crnn = grl_mod.CRNN(**CRNN_KWARGS).eval()
+    predictor = grl_mod.Predictor(**PREDICTOR_KWARGS).eval()
+    ckpt = str(tmp_path / "baseline_best")
+    _save_ckpt(ckpt, crnn, predictor)
+    cfg = get_config("baseline")
+    params, stats = load_torch_checkpoint(ckpt, cfg)
+    modules = build_modules(cfg)
+
+    rng = np.random.default_rng(9)
+    logmel = rng.standard_normal(
+        (2, cfg.audio.max_frames, cfg.audio.n_mels)).astype(np.float32)
+    strong_t = (rng.random((2, cfg.n_frames, cfg.nclass)) > 0.9
+                ).astype(np.float32)
+    weak_t = strong_t.max(axis=1)
+
+    def loss_fn(p):
+        enc, _ = modules.encoder.apply(
+            {"params": p["encoder"], "batch_stats": stats["encoder"]},
+            jnp.asarray(logmel)[..., None], train=False)
+        s, w = modules.predictor.apply({"params": p["predictor"]}, enc,
+                                       train=False)
+        return bce(s, jnp.asarray(strong_t)) + bce(w, jnp.asarray(weak_t))
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(params)
+
+    x = torch.from_numpy(logmel).unsqueeze(1)
+    enc, _ = crnn(x)
+    s, w = predictor(enc)
+    tloss = (torch.nn.functional.binary_cross_entropy(
+                 s, torch.from_numpy(strong_t))
+             + torch.nn.functional.binary_cross_entropy(
+                 w, torch.from_numpy(weak_t)))
+    tloss.backward()
+    assert abs(float(jloss) - float(tloss)) < 1e-5
+
+    def grad_state_dict(module):
+        # the reference CNN's state_dict() strips one "cnn." level vs
+        # named_parameters (the very quirk behind the cnn.→cnn.cnn.
+        # checkpoint migration) — match grads through both spellings
+        named = dict(module.named_parameters())
+        out = {}
+        for k, v in module.state_dict().items():
+            p = named.get(k)
+            if p is None:
+                p = named.get("cnn." + k)
+            g = p.grad if p is not None else None
+            out[k] = g if g is not None else torch.zeros_like(v)
+        return out
+
+    ref_enc_grads, _ = tc.convert_crnn(
+        grad_state_dict(crnn), n_blocks=len(cfg.model.nb_filters),
+        num_layers_rnn=cfg.model.n_layers_rnn,
+        activation=cfg.model.activation, fpn=False)
+    ref_pred_grads = tc.convert_predictor(grad_state_dict(predictor))
+    ref_grads = {"encoder": ref_enc_grads, "predictor": ref_pred_grads}
+
+    flat_j = jax.tree_util.tree_flatten_with_path(jgrads)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    paths_j = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_j}
+    paths_r = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_r}
+    assert set(paths_j) == set(paths_r)
+    for key in sorted(paths_j):
+        a, b = paths_j[key], paths_r[key]
+        # measured worst per-leaf |Δ| is 7.8e-6 (fp32 backprop through the
+        # 313-step GRU + 7 conv blocks); floor 5e-5 leaves 6x margin while
+        # any real wiring error lands orders above it
+        tol = max(5e-5, 5e-3 * float(np.max(np.abs(b)) or 0.0))
+        err = float(np.max(np.abs(a - b)))
+        assert err <= tol, f"{key}: grad err {err} > tol {tol}"
