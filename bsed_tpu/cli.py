@@ -323,6 +323,20 @@ def cmd_analyze(args):
                    os.path.join(args.out_dir, "dataset_time_analysis.csv"))
 
 
+def cmd_export(args):
+    """Export a trained checkpoint as a reference-format torch pickle so the
+    reference's own tooling (TestModel.py) can evaluate/resume it — the
+    inverse of `eval --torch-checkpoint`."""
+    from bsed_tpu.config import get_config
+    from bsed_tpu.eval.test_model import export_torch_checkpoint
+
+    cfg = _apply_flags(get_config(args.preset), args)
+    _modules, params, stats = _load_eval_params(cfg, args)
+    path = export_torch_checkpoint(cfg, params, stats, args.out,
+                                   epoch=args.epoch)
+    print(f"wrote reference-format checkpoint -> {path}")
+
+
 def cmd_predict(args):
     """Raw-audio sound-event inference: WAV/npy → decoded event TSV.
 
@@ -421,6 +435,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--roc-out", default=None,
                     help="directory for ROC curve CSV/PNG dumps")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("export",
+                        help="orbax checkpoint -> reference torch pickle")
+    common(sp)
+    sp.add_argument("--tag", default="best")
+    sp.add_argument("--torch-checkpoint", default=None)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--epoch", type=int, default=0)
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("predict",
                         help="raw audio (wav/npy) -> decoded event TSV")

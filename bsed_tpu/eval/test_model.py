@@ -54,6 +54,55 @@ def load_torch_checkpoint(path: str, cfg: Config):
             {"encoder": stats})
 
 
+def export_torch_checkpoint(cfg: Config, params: Dict, batch_stats: Dict,
+                            path: str, epoch: int = 0) -> str:
+    """(params, batch_stats) → reference torch pickle.
+
+    Writes the exact layout the reference saves (main_baseline.py:895-971)
+    and its TestModel.py consumes — incl. rebuildable ``kwargs`` — so a
+    model trained HERE can be evaluated/resumed by the reference's own
+    tooling. Inverse of ``load_torch_checkpoint`` (round-trip and
+    real-reference-class load are pinned in tests/test_reference_parity.py).
+    """
+    import torch
+
+    from bsed_tpu.utils import torch_compat as tc
+
+    m = cfg.model
+    crnn_sd = tc.export_crnn(params["encoder"], batch_stats["encoder"],
+                             n_blocks=len(m.nb_filters),
+                             num_layers_rnn=m.n_layers_rnn,
+                             activation=m.activation, fpn=m.use_fpn)
+    pred_sd = tc.export_predictor(params["predictor"])
+    as_t = lambda sd: {k: torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()}
+    n = len(m.nb_filters)
+    crnn_kwargs = {
+        "n_in_channel": 1, "nclass": cfg.nclass, "attention": True,
+        "n_RNN_cell": m.n_rnn_cell, "n_layers_RNN": m.n_layers_rnn,
+        "activation": m.activation, "dropout": m.dropout,
+        "kernel_size": n * [m.kernel_size], "padding": n * [1],
+        "stride": n * [1], "nb_filters": list(m.nb_filters),
+        "pooling": [list(p) for p in m.pooling],
+    }
+    encoder = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
+                             sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
+                             pooling_time_ratio=m.pooling_time_ratio)
+    torch.save({
+        "model": {"name": "CRNN_fpn" if m.use_fpn else "CRNN", "args": "",
+                  "kwargs": crnn_kwargs, "state_dict": as_t(crnn_sd)},
+        "model_p": {"name": "Predictor", "args": "",
+                    "kwargs": {"nclass": cfg.nclass, "attention": True,
+                               "n_RNN_cell": m.n_rnn_cell},
+                    "state_dict": as_t(pred_sd)},
+        "pooling_time_ratio": m.pooling_time_ratio,
+        "many_hot_encoder": encoder.state_dict(),
+        "median_window": cfg.median_window,
+        "epoch": epoch,
+    }, path)
+    return path
+
+
 def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
                         store_dir: Optional[str] = None,
                         torch_ckpt: Optional[str] = None,

@@ -140,3 +140,78 @@ def convert_predictor(state: Mapping[str, np.ndarray]) -> Dict:
         params["dense_softmax"] = convert_dense(state["dense_softmax.weight"],
                                                 state["dense_softmax.bias"])
     return params
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax param tree → reference torch state_dict. Lets a
+# model trained here be consumed by the reference's own tooling
+# (TestModel.py loads this exact pickle layout, main_baseline.py:895-971).
+
+def export_crnn(params: Mapping, stats: Mapping, n_blocks: int = 7,
+                num_layers_rnn: int = 2, activation: str = "glu",
+                fpn: bool = False) -> Dict[str, np.ndarray]:
+    """(params, batch_stats) of the CRNN encoder → reference state_dict."""
+    act = activation.lower()
+    out: Dict[str, np.ndarray] = {}
+    cnn_p, cnn_s = params["cnn"], stats["cnn"]
+    for i in range(n_blocks):
+        blk, blk_s = cnn_p[f"block{i}"], cnn_s[f"block{i}"]
+        out[f"cnn.cnn.conv{i}.weight"] = np.transpose(
+            np.asarray(blk["conv"]["kernel"]), (3, 2, 0, 1))
+        out[f"cnn.cnn.conv{i}.bias"] = np.asarray(blk["conv"]["bias"])
+        out[f"cnn.cnn.batchnorm{i}.weight"] = np.asarray(blk["bn"]["scale"])
+        out[f"cnn.cnn.batchnorm{i}.bias"] = np.asarray(blk["bn"]["bias"])
+        out[f"cnn.cnn.batchnorm{i}.running_mean"] = np.asarray(
+            blk_s["bn"]["mean"])
+        out[f"cnn.cnn.batchnorm{i}.running_var"] = np.asarray(
+            blk_s["bn"]["var"])
+        out[f"cnn.cnn.batchnorm{i}.num_batches_tracked"] = np.asarray(
+            0, dtype=np.int64)
+        if act in ("glu", "cg"):
+            key = "GLU_0" if act == "glu" else "ContextGating_0"
+            lin = blk[key]["linear"]
+            out[f"cnn.cnn.{act}{i}.linear.weight"] = np.asarray(
+                lin["kernel"]).T
+            out[f"cnn.cnn.{act}{i}.linear.bias"] = np.asarray(lin["bias"])
+
+    def put_gru(prefix, gru_params):
+        for layer in range(num_layers_rnn):
+            for suffix in ("", "_reverse"):
+                for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                    k = f"{kind}_l{layer}{suffix}"
+                    out[prefix + k] = np.asarray(gru_params[k])
+
+    put_gru("rnn.rnn.", params["rnn"])
+    if fpn:
+        blk = cnn_p["block_down"]
+        out["cnn.cnn_fcn.weight"] = np.transpose(
+            np.asarray(blk["conv"]["kernel"]), (3, 2, 0, 1))
+        out["cnn.cnn_fcn.bias"] = np.asarray(blk["conv"]["bias"])
+        out["cnn.bn_fcn.weight"] = np.asarray(blk["bn"]["scale"])
+        out["cnn.bn_fcn.bias"] = np.asarray(blk["bn"]["bias"])
+        out["cnn.bn_fcn.running_mean"] = np.asarray(
+            cnn_s["block_down"]["bn"]["mean"])
+        out["cnn.bn_fcn.running_var"] = np.asarray(
+            cnn_s["block_down"]["bn"]["var"])
+        out["cnn.bn_fcn.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+        out["cnn.glu.linear.weight"] = np.asarray(
+            blk["GLU_0"]["linear"]["kernel"]).T
+        out["cnn.glu.linear.bias"] = np.asarray(blk["GLU_0"]["linear"]["bias"])
+        put_gru("rnn_2.rnn.", params["rnn_2"])
+        put_gru("rnn_4.rnn.", params["rnn_4"])
+        for tname, fname in (("conv1x1_2", "fuse_2"), ("conv1x1_4", "fuse_4")):
+            w = np.asarray(params[fname]["kernel"]).T  # (out, in)
+            out[f"{tname}.weight"] = w[:, :, None, None]
+            out[f"{tname}.bias"] = np.asarray(params[fname]["bias"])
+    return out
+
+
+def export_predictor(params: Mapping) -> Dict[str, np.ndarray]:
+    out = {"dense.weight": np.asarray(params["dense"]["kernel"]).T,
+           "dense.bias": np.asarray(params["dense"]["bias"])}
+    if "dense_softmax" in params:
+        out["dense_softmax.weight"] = np.asarray(
+            params["dense_softmax"]["kernel"]).T
+        out["dense_softmax.bias"] = np.asarray(
+            params["dense_softmax"]["bias"])
+    return out

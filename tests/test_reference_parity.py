@@ -211,3 +211,45 @@ def test_supervised_gradient_parity(ref_models, tmp_path):
         tol = max(5e-5, 5e-3 * float(np.max(np.abs(b)) or 0.0))
         err = float(np.max(np.abs(a - b)))
         assert err <= tol, f"{key}: grad err {err} > tol {tol}"
+
+
+def test_export_loads_into_reference_classes(ref_models, tmp_path):
+    """Checkpoint EXPORT interop: a model initialized HERE, exported via
+    export_torch_checkpoint, must load into the REAL reference classes
+    with strict state-dict matching and reproduce our posteriors ≤1e-3 —
+    the inverse direction of the load gate above."""
+    import jax
+    from bsed_tpu.eval.test_model import export_torch_checkpoint
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_predict_fn)
+
+    grl_mod, _ = ref_models
+    cfg = get_config("baseline")
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(5))
+    path = str(tmp_path / "exported_best")
+    export_torch_checkpoint(cfg, state.params, state.batch_stats, path,
+                            epoch=7)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 7
+    assert ckpt["pooling_time_ratio"] == 4
+    assert ckpt["median_window"] == 14
+    assert ckpt["many_hot_encoder"]["labels"] == list(cfg.bird_list)
+    crnn = grl_mod.CRNN(**ckpt["model"]["kwargs"]).eval()
+    predictor = grl_mod.Predictor(**ckpt["model_p"]["kwargs"]).eval()
+    # strict load: every key must exist with the right shape
+    crnn.load_state_dict(ckpt["model"]["state_dict"], strict=True)
+    predictor.load_state_dict(ckpt["model_p"]["state_dict"], strict=True)
+
+    rng = np.random.default_rng(6)
+    logmel = rng.standard_normal(
+        (2, cfg.audio.max_frames, cfg.audio.n_mels)).astype(np.float32)
+    predict = make_predict_fn(modules)
+    strong, weak = predict(state.params, state.batch_stats,
+                           jnp.asarray(logmel), apply_log=False)
+    with torch.no_grad():
+        enc, _ = crnn(torch.from_numpy(logmel).unsqueeze(1))
+        ref_strong, ref_weak = predictor(enc)
+    assert np.max(np.abs(np.asarray(strong) - ref_strong.numpy())) <= 1e-3
+    assert np.max(np.abs(np.asarray(weak) - ref_weak.numpy())) <= 1e-3
