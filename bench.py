@@ -125,6 +125,54 @@ def bench_train(iters: int = 20) -> dict:
             "train_clips_per_s": round(2 * bs / best, 1)}
 
 
+def bench_train_e2e() -> dict:
+    """END-TO-END training throughput: device-resident three-stream loader
+    + background prefetch + the fused MT+ISP step, full clip shapes —
+    i.e. what an actual epoch costs, not just the jitted step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from bsed_tpu.config import get_config
+    from bsed_tpu.data.datasets import SyntheticDataSource
+    from bsed_tpu.data.pipeline import ThreeStreamLoader
+    from bsed_tpu.data.prefetch import prefetch
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    cfg = get_config("baseline_mt_isp")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, fused_streams=True))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    step = make_train_step(modules)
+    syn = SyntheticDataSource(cfg, n_items=240, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=60, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=180, seed=3, weak_only=True)
+    loader = ThreeStreamLoader(syn, weak, unlab,
+                               batch_size=cfg.train.batch_size,
+                               device_resident=True)
+    key = jax.random.key(1)
+    for batch in loader.epoch(0):  # compile + array upload
+        key, k = jax.random.split(key)
+        state, m = step(state, batch, k, jnp.asarray(0.0))
+    jax.block_until_ready(m["loss"])
+    best = float("inf")
+    for e in (1, 2):
+        n = 0
+        t0 = time.perf_counter()
+        for batch in prefetch(loader.epoch(e), depth=2):
+            key, k = jax.random.split(key)
+            state, m = step(state, batch, k, jnp.asarray(float(e)))
+            n += 1
+        jax.block_until_ready(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / n)
+    bs = 2 * cfg.train.batch_size
+    return {"train_e2e_ms_per_step": round(best * 1e3, 2),
+            "train_e2e_clips_per_s": round(bs / best, 1)}
+
+
 def bench_cpu_baseline(n_clips: int = 4) -> float:
     import torch
     torch.set_num_threads(1)
@@ -173,6 +221,7 @@ def main():
     # Order the measurements instead of paying a subprocess.
     try:
         train_metrics = bench_train()
+        train_metrics.update(bench_train_e2e())
     except Exception as e:  # train bench is auxiliary — never break the line
         train_metrics = {"train_bench_error": f"{type(e).__name__}: {e}"}
     tpu_clips_per_sec, flops_util = bench_tpu()
