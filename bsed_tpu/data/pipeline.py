@@ -190,11 +190,49 @@ class ThreeStreamLoader:
 
 class EvalLoader:
     """Sequential batches of (mel, strong target, filenames) with a padded
-    final batch (mask returned) so jit sees one static shape."""
+    final batch (mask returned) so jit sees one static shape.
 
-    def __init__(self, dataset, batch_size: int = 12):
+    When the dataset exposes ``as_arrays`` the whole eval set is stacked
+    once (and, on an accelerator backend, placed in device memory once) so
+    each batch is a static slice instead of a per-item load + np.stack +
+    per-batch host→device transfer — under the tunnel the transfer alone
+    costs more than the model forward."""
+
+    def __init__(self, dataset, batch_size: int = 12,
+                 device_resident: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.device_resident = device_resident
+        self._prepared = None
+
+    def _prepare(self):
+        if self._prepared is not None:
+            return self._prepared
+        fn = getattr(self.dataset, "as_arrays", None)
+        if fn is None:
+            return None
+        feats, targets = fn()
+        names = [self.dataset.filename(i)
+                 if hasattr(self.dataset, "filename") else str(i)
+                 for i in range(len(self.dataset))]
+        pad = (-len(names)) % self.batch_size
+        if pad:  # static shapes: repeat the last item into the tail batch
+            feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
+            targets = np.concatenate(
+                [targets, np.repeat(targets[-1:], pad, 0)])
+        use_dev = self.device_resident
+        if use_dev is None:
+            try:
+                import jax
+                use_dev = (jax.default_backend() != "cpu"
+                           and feats.nbytes < 4 * 1024 ** 3)
+            except Exception:
+                use_dev = False
+        if use_dev:
+            import jax.numpy as jnp
+            feats = jnp.asarray(feats)
+        self._prepared = (feats, targets, names)
+        return self._prepared
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -214,6 +252,16 @@ class EvalLoader:
 
     def __iter__(self):
         n = len(self.dataset)
+        prepared = self._prepare()
+        if prepared is not None:
+            feats, targets, names = prepared
+            for start in range(0, n, self.batch_size):
+                stop = start + self.batch_size
+                n_valid = min(stop, n) - start
+                batch_names = names[start:start + n_valid]
+                yield (feats[start:stop], targets[start:stop], batch_names,
+                       n_valid)
+            return
         for start in range(0, n, self.batch_size):
             ids = list(range(start, min(start + self.batch_size, n)))
             items = [self.dataset[i] for i in ids]

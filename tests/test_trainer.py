@@ -122,3 +122,26 @@ def test_device_resident_loader_matches_host_path(tmp_path):
         for k in a:
             assert not isinstance(a[k], np.ndarray), k   # on device
             np.testing.assert_array_equal(np.asarray(a[k]), b[k])
+
+
+def test_eval_loader_fast_path_matches_per_item(tmp_path):
+    """EvalLoader's stacked/as_arrays path (incl. padded ragged final
+    batch) must yield exactly what the per-item path yields."""
+    cfg = get_config("baseline").replace(audio=SMALL_AUDIO)
+    ds = SyntheticDataSource(cfg, n_items=10, seed=8)   # 10 % 4 != 0
+    fast = EvalLoader(ds, batch_size=4, device_resident=True)
+
+    class NoArrays:
+        def __init__(self, inner): self._i = inner
+        def __len__(self): return len(self._i)
+        def __getitem__(self, i): return self._i[i]
+        def filename(self, i): return self._i.filename(i)
+        def events(self, i): return self._i.events(i)
+    slow = EvalLoader(NoArrays(ds), batch_size=4)
+
+    fb, sb = list(fast), list(slow)
+    assert len(fb) == len(sb) == 3
+    for (fm, ft, fn_, fv), (sm, st, sn, sv) in zip(fb, sb):
+        assert fv == sv and fn_ == sn
+        np.testing.assert_array_equal(np.asarray(fm), sm)
+        np.testing.assert_array_equal(np.asarray(ft), st)
