@@ -206,6 +206,7 @@ def cmd_tag_train(args):
     """Weak audio-tagging trainer (audio_tagging_system_cnn.py): step (1) of
     the pseudo-labeling cycle (SURVEY.md §3.4)."""
     from bsed_tpu.config import get_config
+    from bsed_tpu.data.prefetch import prefetch
     from bsed_tpu.train.tagging_trainer import TaggingTrainer
 
     cfg = _apply_flags(get_config(args.preset), args)
@@ -214,7 +215,8 @@ def cmd_tag_train(args):
                              mean_teacher=args.meanteacher)
     best_f1, best_epoch = 0.0, -1
     for epoch in range(args.epochs):
-        loss = trainer.train_epoch(train_loader.epoch(epoch), epoch)
+        loss = trainer.train_epoch(
+            prefetch(train_loader.epoch(epoch), depth=2), epoch)
         f1 = trainer.evaluate(val_loader)
         if f1 >= best_f1:
             best_f1, best_epoch = f1, epoch

@@ -137,3 +137,36 @@ def test_predict_cli_on_raw_audio(data_root, tmp_path):
         # events may land anywhere on the 2.5-clip timeline
         assert df["offset"].max() <= 2.5 * cfg.audio.max_len_seconds + 1.0
         assert set(df["event_label"]) <= set(cfg.bird_list)
+
+
+@pytest.mark.slow
+def test_export_cli_round_trip(data_root, tmp_path):
+    """`export` writes a reference-format pickle whose converted-back
+    params are bit-identical to the orbax checkpoint (transposes only)."""
+    import jax
+
+    from bsed_tpu.eval.test_model import load_torch_checkpoint
+    from bsed_tpu.train.steps import build_modules, create_train_state
+    from bsed_tpu.utils.checkpoint import CheckpointManager
+
+    run_dir = os.path.join(data_root, "pred_run")
+    if not os.path.exists(run_dir):
+        pytest.skip("predict test must run first (module-scoped fixture)")
+    out = str(tmp_path / "exported_best")
+    main(["export", "--tiny-audio", "--data-root", data_root,
+          "--preset", "baseline", "--store-dir", run_dir, "--out", out])
+
+    cfg = get_config("baseline").replace(audio=TINY)
+    params, stats = load_torch_checkpoint(out, cfg)
+    template = create_train_state(cfg, build_modules(cfg), jax.random.key(0))
+    orig = CheckpointManager(run_dir).restore("best", template)
+
+    flat_rt = jax.tree_util.tree_leaves_with_path(params)
+    flat_orig = {jax.tree_util.keystr(p): np.asarray(v)
+                 for p, v in jax.tree_util.tree_leaves_with_path(
+                     {"encoder": orig.params["encoder"],
+                      "predictor": orig.params["predictor"]})}
+    assert len(flat_rt) == len(flat_orig)
+    for p, v in flat_rt:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      flat_orig[jax.tree_util.keystr(p)])
