@@ -87,6 +87,9 @@ def test_pseudo_labeling_cycle_via_cli(data_root):
           "--psds-sweep", "--n-thresholds", "5", "--roc-out", roc_dir])
     for name in ("psds_ct0_st0", "psds_ct1_st0", "psds_ct0_st1"):
         assert os.path.exists(os.path.join(roc_dir, f"roc_{name}.csv")), name
+        # matplotlib ships in this image → the ROC plot files
+        # (evaluation_measures.py:304-311) must be emitted too
+        assert os.path.exists(os.path.join(roc_dir, f"roc_{name}.png")), name
 
 
 @pytest.mark.slow
