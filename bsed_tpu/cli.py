@@ -74,8 +74,14 @@ def _datasets(cfg, args):
         weak = NpyFeatureDataset(
             os.path.join(root, cfg.data.dataset_root,
                          cfg.data.train_weak_subdir), codec, cfg)
-        pl_tsv = getattr(args, "pseudo_labels", None) \
-            or cfg.data.pseudo_label_tsv
+        pl_tsv = getattr(args, "pseudo_labels", None)
+        if pl_tsv and not os.path.exists(pl_tsv):
+            # an explicitly requested TSV must exist — silently training
+            # with all-empty weak targets would be a trap (the dataset
+            # itself tolerates a missing DEFAULT TSV so the pseudo-label
+            # writer can read the unlabeled set before the first cycle)
+            sys.exit(f"error: pseudo-label TSV not found: {pl_tsv}")
+        pl_tsv = pl_tsv or cfg.data.pseudo_label_tsv
         unlab = PseudoLabeledDataset(
             os.path.join(root, cfg.data.dataset_root,
                          cfg.data.train_unlabeled_subdir),
@@ -159,19 +165,41 @@ def _psds_sweep(cfg, args, val_loader):
     from bsed_tpu.eval.psds import compute_psds
     from bsed_tpu.train.steps import make_predict_fn
 
+    from bsed_tpu.data.codec import ManyHotEncoder
+
     modules, params, stats = _load_eval_params(cfg, args)
     predict = make_predict_fn(modules)
 
+    # GT at original second resolution when the dataset provides it;
+    # otherwise fall back to decoding the frame targets (like
+    # evaluate_checkpoint / Trainer.evaluate) rather than scoring against
+    # an empty ground truth
+    true_events = val_loader.groundtruth_events()
+    gt_events = dict(true_events) if true_events is not None else {}
+    codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
+                           sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
+                           pooling_time_ratio=cfg.model.pooling_time_ratio)
+    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
+
     def batches():
-        for mel, _target, names, n_valid in val_loader:
+        for mel, target, names, n_valid in val_loader:
             strong, _ = predict(params, stats, jnp.asarray(mel),
                                 inference=cfg.model.use_fpn)
+            if true_events is None:
+                target = np.asarray(target)[:n_valid]
+                if target.ndim == 3:
+                    for b, name in enumerate(names[:n_valid]):
+                        evs = codec.decode_strong(target[b])
+                        gt_events[name] = [(l, a * sec, b_ * sec)
+                                           for (l, a, b_) in evs]
             yield np.asarray(strong)[:n_valid], names[:n_valid]
 
-    gt = val_loader.groundtruth_events() or {}
-    gt_df = groundtruth_df_from_events(gt)
+    # run the forward pass first so gt_events is fully populated before
+    # the operating points are scored
+    collected = list(batches())
+    gt_df = groundtruth_df_from_events(gt_events)
     sweep = sweep_operating_points(
-        batches(), cfg, gt_df,
+        iter(collected), cfg, gt_df,
         thresholds=default_thresholds(args.n_thresholds))
     report = dict(sweep["psds"])
     if args.roc_out:
@@ -180,7 +208,7 @@ def _psds_sweep(cfg, args, val_loader):
                                  ("psds_ct1_st0", 1.0, 0.0),
                                  ("psds_ct0_st1", 0.0, 1.0)):
             res = compute_psds(sweep["operating_points"],
-                               len(gt) * cfg.audio.max_len_seconds or 1.0,
+                               sweep["total_duration_s"],
                                alpha_ct=a_ct, alpha_st=a_st)
             import pandas as pd
             pd.DataFrame({"efpr": res.efpr, "etpr": res.etpr}).to_csv(

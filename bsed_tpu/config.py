@@ -104,13 +104,16 @@ class DAConfig:
     grl_lo: float = 0.0
     grl_hi: float = 1.0
     grl_max_iters: int = 1000
-    # aux-optimizer lr coupling: the scripts that live-call
-    # adjust_learning_rate(optimizer, …, optimizer_d=optimizer_d,
-    # optimizer_crnn=optimizer_crnn) set BOTH aux optimizers to lr × 0.1
-    # every step (main_baseline.py:80-88; live call sites main.py:228,
-    # main_origin.py:202, main_scmt.py:267, main_scmt_ada_origin.py:279).
-    # 1.0 = uncoupled (aux optimizers at the main lr), matching the scripts
-    # that pass optimizer_d=None.
+    # Aux-optimizer (discriminator / encoder-confusion) lr, as a factor on
+    # the CONSTANT construction lr (max_learning_rate). The reference's
+    # adjust_learning_rate carries an "aux = lr × 0.1" block
+    # (main_baseline.py:80-88) but it is DEAD in every live path:
+    # main_baseline.py:292 calls it with optimizer_d=None, and
+    # main_scmt.py / main_origin.py / main_scmt_ada_origin.py import
+    # data.config with adjust_lr=False (config.py:97) so the call never
+    # fires — aux optimizers keep their construction lr
+    # (default_learning_rate, == max lr) forever (main_scmt.py:923-930).
+    # 1.0 reproduces that; other values are an exposed experiment knob.
     aux_lr_factor: float = 1.0
 
 
@@ -268,28 +271,27 @@ PRESETS = {
                          train={"supervise_on": "real",
                                 "max_learning_rate": 1e-3}),
     # main_scmt.py: MT + SCT with ADDA-style alternating update, adv_w=2.5;
-    # aux optimizers coupled at lr×0.1 (main_scmt.py:267).
+    # aux optimizers at the constant construction lr (main_scmt.py:923-930;
+    # the ×0.1 coupling never fires — adjust_lr=False in data/config.py:97).
     "scmt": _cfg("scmt",
                  train={"mean_teacher": True, "isp": True},
-                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2,
-                     "aux_lr_factor": 0.1}),
+                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
     # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
-    # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470)
-    # and coupled aux optimizers (main_origin.py:202).
+    # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470);
+    # aux optimizers at the constant construction lr (adjust_lr=False).
     "origin": _cfg("origin",
                    train={"mean_teacher": True, "isp": True, "mixup": True},
-                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2,
-                       "aux_lr_factor": 0.1}),
+                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
     # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
     # mixup with per-step alternating discriminator/confusion updates on the
     # frame features (adv_w=2.5, update_step=1, :364-466), Adam main
-    # optimizer (:1056-1060), aux optimizers coupled at lr×0.1 (:279).
+    # optimizer (:1056-1060); aux optimizers at the constant construction
+    # lr (adjust_lr=False, so the :279 coupling call never fires).
     "scmt_ada_origin": _cfg("scmt_ada_origin",
                             train={"mean_teacher": True, "isp": True,
                                    "mixup": True},
                             da={"mode": "adda", "level": "frame",
-                                "adv_weight": 2.5, "update_step": 1,
-                                "aux_lr_factor": 0.1}),
+                                "adv_weight": 2.5, "update_step": 1}),
     # main_scmt_ada.py: MT + DANN on clip features.
     "scmt_ada": _cfg("scmt_ada",
                      train={"mean_teacher": True},

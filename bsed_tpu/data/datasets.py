@@ -121,7 +121,13 @@ class PseudoLabeledDataset:
         # TSV is tolerated (all-empty weak targets): the pseudo-label CLI
         # must be able to read this dataset BEFORE the first TSV exists.
         self._weak: Dict[str, str] = {}
-        if os.path.exists(pseudo_label_tsv):
+        if not os.path.exists(pseudo_label_tsv):
+            import logging
+            logging.getLogger("bsed_tpu").warning(
+                "pseudo-label TSV %s not found: unlabeled stream gets "
+                "all-empty weak targets (expected only before the first "
+                "pseudo-labeling cycle)", pseudo_label_tsv)
+        else:
             pl = pd.read_csv(pseudo_label_tsv, sep="\t")
             for _, row in pl.iterrows():
                 key = os.path.splitext(
@@ -193,9 +199,6 @@ class SyntheticDataSource:
         self.seed = seed
         self.weak_only = weak_only
         self.event_rate = event_rate
-        # pooled frames per second: frame targets quantize events to this
-        self._fps = (cfg.audio.sr / cfg.audio.hop_size
-                     / cfg.model.pooling_time_ratio)
 
     def __len__(self):
         return self.n_items

@@ -242,13 +242,17 @@ class EvalLoader:
         resolution when the dataset can provide it (the reference assembles
         eval GT from annotation text, evaluation_measures.py:226-248);
         None when only frame targets exist (caller falls back to decoding
-        them, losing sub-frame precision)."""
+        them, losing sub-frame precision). Cached: the Trainer calls this
+        every epoch and re-parsing every annotation file each time is pure
+        waste (the data is immutable)."""
         if not hasattr(self.dataset, "events"):
             return None
-        name = (self.dataset.filename if hasattr(self.dataset, "filename")
-                else str)
-        return {name(i): list(self.dataset.events(i))
-                for i in range(len(self.dataset))}
+        if not hasattr(self, "_gt_events"):
+            name = (self.dataset.filename
+                    if hasattr(self.dataset, "filename") else str)
+            self._gt_events = {name(i): list(self.dataset.events(i))
+                               for i in range(len(self.dataset))}
+        return self._gt_events
 
     def __iter__(self):
         n = len(self.dataset)

@@ -68,4 +68,7 @@ def sweep_operating_points(
         "operating_points": ops,
         "predictions": merged,
         "psds": psds_score_report(ops, total_duration),
+        # exposed so callers recomputing PSDS variants (ROC dumps) use the
+        # SAME duration basis as the report above
+        "total_duration_s": total_duration,
     }

@@ -24,36 +24,6 @@ import jax.numpy as jnp
 from bsed_tpu.models.init import uniform_sqrt_h
 
 
-def _gru_scan(xp: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-              reverse: bool = False, unroll: int = 8) -> jnp.ndarray:
-    """Run the GRU recurrence over precomputed input projections.
-
-    xp: (B, T, 3H) = x @ W_ih^T + b_ih, gate order (r, z, n).
-    w_hh: (3H, H); b_hh: (3H,). Returns (B, T, H). Runs in xp's dtype:
-    pass bf16 xp (and the weights are cast to match) for the half-bandwidth
-    recurrence — on TPU the MXU consumes bf16 operands either way.
-    """
-    h_dim = w_hh.shape[1]
-    batch = xp.shape[0]
-    w_hh_t = w_hh.T.astype(xp.dtype)  # (H, 3H)
-    b_hh = b_hh.astype(xp.dtype)
-
-    def step(h, x_t):
-        hp = h @ w_hh_t + b_hh                       # (B, 3H)
-        xr, xz, xn = jnp.split(x_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = nn.sigmoid(xr + hr)
-        z = nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-        return h_new, h_new
-
-    h0 = jnp.zeros((batch, h_dim), dtype=xp.dtype)
-    xs = jnp.swapaxes(xp, 0, 1)                      # (T, B, 3H)
-    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse, unroll=unroll)
-    return jnp.swapaxes(ys, 0, 1)                    # (B, T, H)
-
-
 def _gru_scan_bidir(xp2: jnp.ndarray, w_hh2: jnp.ndarray, b_hh2: jnp.ndarray,
                     unroll: int = 8) -> jnp.ndarray:
     """Both GRU directions in ONE forward scan over a stacked direction axis.

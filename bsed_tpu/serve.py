@@ -55,6 +55,11 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
     fe = MelFrontEnd(cfg.audio, precision=precision)
     enc_params = params["encoder"]
     enc_stats = batch_stats["encoder"]
+    # the CRNN_pred conv head carries BatchNorm (predictor_head="crnn") —
+    # thread its stats like make_predict_fn (steps.py) does
+    pred_vars = {"params": params["predictor"]}
+    if "predictor" in batch_stats:
+        pred_vars["batch_stats"] = batch_stats["predictor"]
 
     fused = (use_fused_stem and not cfg.model.use_fpn
              and cfg.model.activation == "glu"
@@ -81,8 +86,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
                             "batch_stats": rest_stats}, h)
             h = jnp.squeeze(h, axis=2)
             h = rnn.apply({"params": enc_params["rnn"]}, h)
-            strong, weak = modules.predictor.apply(
-                {"params": params["predictor"]}, h, train=False)
+            strong, weak = modules.predictor.apply(pred_vars, h,
+                                                   train=False)
             return strong, weak
     else:
         def forward(audio):
@@ -90,8 +95,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
             enc, _ = modules.encoder.apply(
                 {"params": enc_params, "batch_stats": enc_stats}, mel,
                 train=False)
-            strong, weak = modules.predictor.apply(
-                {"params": params["predictor"]}, enc, train=False)
+            strong, weak = modules.predictor.apply(pred_vars, enc,
+                                                   train=False)
             return strong, weak
 
     return forward

@@ -383,10 +383,14 @@ def make_train_step(modules: TrainModules) -> Callable:
                            t.rampdown_epochs)
         state.opt_state.hyperparams["learning_rate"] = lr
         if state.enc_opt_state is not None:
-            # aux-optimizer lr coupling (main_baseline.py:80-88): the
-            # scripts that pass optimizer_d/optimizer_crnn run both aux
-            # optimizers at lr × aux_lr_factor (0.1) every step
-            aux_lr = lr * cfg.da.aux_lr_factor
+            # aux optimizers stay at their CONSTANT construction lr: the
+            # reference's "aux = lr × 0.1" block (main_baseline.py:80-88)
+            # is dead in every live path — main_baseline.py:292 passes
+            # optimizer_d=None, and the scmt/origin/ada scripts import
+            # data.config with adjust_lr=False so adjust_learning_rate
+            # never runs; construction lr = default_learning_rate
+            # (main_scmt.py:923-930), == max_learning_rate here.
+            aux_lr = t.max_learning_rate * cfg.da.aux_lr_factor
             state.enc_opt_state.hyperparams["learning_rate"] = aux_lr
             state.disc_opt_state.hyperparams["learning_rate"] = aux_lr
 

@@ -173,3 +173,12 @@ def test_export_cli_round_trip(data_root, tmp_path):
     for p, v in flat_rt:
         np.testing.assert_array_equal(np.asarray(v),
                                       flat_orig[jax.tree_util.keystr(p)])
+
+
+def test_missing_pseudo_label_tsv_errors(data_root):
+    """An explicitly requested --pseudo-labels TSV that does not exist must
+    error out instead of silently training with all-empty weak targets."""
+    with pytest.raises(SystemExit, match="pseudo-label TSV not found"):
+        main(["train", "--tiny-audio", "--data-root", data_root,
+              "--preset", "scmt_ada_weak", "--epochs", "1",
+              "--pseudo-labels", os.path.join(data_root, "nope.tsv")])

@@ -56,11 +56,14 @@ def test_scmt_ada_origin_preset_trains():
 
 
 @pytest.mark.slow
-def test_aux_optimizer_lr_coupling():
-    """Scripts that live-pass optimizer_d/optimizer_crnn run both aux
-    optimizers at lr×0.1 every step (main_baseline.py:80-88)."""
+def test_aux_optimizer_lr_stays_constant():
+    """Aux optimizers keep their CONSTANT construction lr: the reference's
+    "aux = lr x 0.1" block (main_baseline.py:80-88) never fires in a live
+    path (main_baseline.py:292 passes optimizer_d=None; the scmt/origin
+    family has adjust_lr=False), so aux lr == default_learning_rate ==
+    max_learning_rate throughout (main_scmt.py:923-930)."""
     cfg = small_cfg("scmt")
-    assert cfg.da.aux_lr_factor == 0.1
+    assert cfg.da.aux_lr_factor == 1.0
     cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                 stage="adaptation"))
     modules = build_modules(cfg)
@@ -68,25 +71,29 @@ def test_aux_optimizer_lr_coupling():
     step = make_train_step(modules)
     state, metrics = step(state, make_batch(cfg), jax.random.key(1),
                           jnp.asarray(0.0))
-    lr = float(metrics["lr"])
+    base = cfg.train.max_learning_rate
     assert np.isclose(float(state.enc_opt_state.hyperparams["learning_rate"]),
-                      0.1 * lr)
+                      base)
     assert np.isclose(
-        float(state.disc_opt_state.hyperparams["learning_rate"]), 0.1 * lr)
+        float(state.disc_opt_state.hyperparams["learning_rate"]), base)
 
 
 @pytest.mark.slow
-def test_uncoupled_presets_keep_full_aux_lr():
+def test_aux_lr_constant_under_ramped_main_lr():
+    """Under adjust_lr=True the MAIN lr ramps (tiny at epoch 0) while the
+    aux optimizers stay pinned at the constant construction lr."""
     cfg = small_cfg("baseline_adaptation")
-    assert cfg.da.aux_lr_factor == 1.0
+    assert cfg.train.adjust_lr
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))
     step = make_train_step(modules)
     state, metrics = step(state, make_batch(cfg), jax.random.key(1),
                           jnp.asarray(0.0))
     lr = float(metrics["lr"])
+    base = cfg.train.max_learning_rate
+    assert lr < 0.1 * base  # epoch-0 rampup: main lr is far below max
     assert np.isclose(float(state.enc_opt_state.hyperparams["learning_rate"]),
-                      lr)
+                      base)
 
 
 @pytest.mark.slow
