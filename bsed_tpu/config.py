@@ -136,6 +136,17 @@ class TrainConfig:
     sgd_momentum: float = 0.9
     sgd_weight_decay: float = 1e-4
     max_consistency_cost: float = 1.0
+    # Consistency-cost ramp schedule — the reference has TWO lineages:
+    #   "sigmoid_epoch" — rampup_value = sigmoid_rampdown(c_epoch, 30)
+    #       (main_baseline.py:285, also main_scmt_ada_weak.py:285,
+    #       ..._seperate.py:285, ..._2_crnn.py:285, pseudo_labeling_main.py:285)
+    #   "exp_step"      — rampup_value = exp_rampup(global_step,
+    #       n_epoch_rampup * len(syn_loader)) with global_step =
+    #       c_epoch * len(syn_loader) + i (main_scmt.py:261→515, main.py:222,
+    #       main_origin.py:196, main_scmt_ada.py:275,
+    #       main_scmt_ada_origin.py:273, main_sct_ada_weak.py:282).
+    # At epoch 10 the two differ ~10× (0.04 vs 0.004 of max cost).
+    cost_ramp: str = "sigmoid_epoch"
     ema_alpha: float = 0.999
     mean_teacher: bool = False
     isp: bool = False                 # shift-consistency training (SCT)
@@ -274,13 +285,15 @@ PRESETS = {
     # aux optimizers at the constant construction lr (main_scmt.py:923-930;
     # the ×0.1 coupling never fires — adjust_lr=False in data/config.py:97).
     "scmt": _cfg("scmt",
-                 train={"mean_teacher": True, "isp": True},
+                 train={"mean_teacher": True, "isp": True,
+                        "cost_ramp": "exp_step"},
                  da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
     # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
     # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470);
     # aux optimizers at the constant construction lr (adjust_lr=False).
     "origin": _cfg("origin",
-                   train={"mean_teacher": True, "isp": True, "mixup": True},
+                   train={"mean_teacher": True, "isp": True, "mixup": True,
+                          "cost_ramp": "exp_step"},
                    da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
     # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
     # mixup with per-step alternating discriminator/confusion updates on the
@@ -289,12 +302,12 @@ PRESETS = {
     # lr (adjust_lr=False, so the :279 coupling call never fires).
     "scmt_ada_origin": _cfg("scmt_ada_origin",
                             train={"mean_teacher": True, "isp": True,
-                                   "mixup": True},
+                                   "mixup": True, "cost_ramp": "exp_step"},
                             da={"mode": "adda", "level": "frame",
                                 "adv_weight": 2.5, "update_step": 1}),
     # main_scmt_ada.py: MT + DANN on clip features.
     "scmt_ada": _cfg("scmt_ada",
-                     train={"mean_teacher": True},
+                     train={"mean_teacher": True, "cost_ramp": "exp_step"},
                      da={"mode": "dann", "level": "clip"}),
     # main_scmt_ada_weak.py: MT + clip-CDAN + weak PL, SGD, joint backward.
     "scmt_ada_weak": _cfg("scmt_ada_weak",
@@ -306,7 +319,8 @@ PRESETS = {
     # main_sct_ada_weak.py: SCT-only (no MT) + DANN, SGD.
     "sct_ada_weak": _cfg("sct_ada_weak",
                          train={"isp": True, "pseudo_labels": True,
-                                "optimizer": "sgd"},
+                                "optimizer": "sgd",
+                                "cost_ramp": "exp_step"},
                          da={"mode": "dann", "joint_backward": True}),
     # main_scmt_ada_weak_seperate.py: stage-2 resume with discriminator re-init.
     "scmt_ada_weak_separate": _cfg("scmt_ada_weak_separate",

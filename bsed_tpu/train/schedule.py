@@ -3,9 +3,16 @@
 Reference: /root/reference/src/main_baseline.py:53-88 —
   lr = rampup_value · rampdown_value · max_lr, with
   rampup_value = sigmoid_rampdown(epoch, 30) and an extra halving
-  0.5^(1 + (epoch−100)//20) past epoch 100; discriminator/crnn aux
-  optimizers run at lr × 0.1. With cfg.adjust_lr=False (the default,
-  config.py:97) the lr is simply the constant default_learning_rate.
+  0.5^(1 + (epoch−100)//20) past epoch 100. With cfg.adjust_lr=False (the
+  default, config.py:97) the lr is simply the constant
+  default_learning_rate.
+
+The reference's "aux optimizers at lr × 0.1" block (main_baseline.py:80-88)
+is DEAD in every live path and is intentionally NOT reproduced here:
+main_baseline.py:292 calls adjust_learning_rate with optimizer_d=None, and
+the scmt/origin/ada family imports data/config.py with adjust_lr=False
+(config.py:97) so the call never fires — aux optimizers keep their constant
+construction lr (see config.py DAConfig.aux_lr_factor provenance note).
 """
 from __future__ import annotations
 

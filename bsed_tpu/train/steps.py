@@ -45,7 +45,7 @@ from bsed_tpu.models.predictor import Predictor, Predictor2
 from bsed_tpu.train import da as da_losses
 from bsed_tpu.train.ema import ema_update
 from bsed_tpu.train.losses import bce, mse
-from bsed_tpu.train.ramps import sigmoid_rampdown
+from bsed_tpu.train.ramps import exp_rampup, sigmoid_rampdown
 from bsed_tpu.train.schedule import learning_rate
 from bsed_tpu.train.state import TrainState
 
@@ -207,7 +207,12 @@ def _log_input(linear_mel: jnp.ndarray) -> jnp.ndarray:
     return amplitude_to_db(linear_mel)[..., None]
 
 
-def make_train_step(modules: TrainModules) -> Callable:
+def make_train_step(modules: TrainModules,
+                    steps_per_epoch: Optional[int] = None) -> Callable:
+    """Build the jitted step. ``steps_per_epoch`` (= len(syn_loader)) is
+    required when ``cfg.train.cost_ramp == "exp_step"``: that lineage's
+    consistency cost ramps with exp_rampup(global_step,
+    n_epoch_rampup * len(syn_loader)) (main_scmt.py:261,515)."""
     cfg = modules.cfg
     t = cfg.train
     encoder, predictor = modules.encoder, modules.predictor
@@ -215,6 +220,11 @@ def make_train_step(modules: TrainModules) -> Callable:
     isp = t.isp
     use_mixup = t.mixup
     da_mode = _effective_da_mode(cfg)
+    if t.cost_ramp == "exp_step" and steps_per_epoch is None:
+        raise ValueError(
+            "cfg.train.cost_ramp='exp_step' needs steps_per_epoch "
+            "(= len(syn_loader)) to size the step-based exp_rampup — "
+            "pass make_train_step(modules, steps_per_epoch=len(loader))")
 
     pred_has_stats = cfg.model.predictor_head == "crnn"
 
@@ -377,7 +387,16 @@ def make_train_step(modules: TrainModules) -> Callable:
          k_t1, k_t2, k_t3, k_da, k_mix, k_mix2, k_t4, k_umix, k_umix2,
          k_wmix, k_wmix2, _) = keys
 
-        rampup_value = sigmoid_rampdown(epoch, t.rampdown_epochs)
+        if t.cost_ramp == "exp_step":
+            # scmt/origin/ada lineage: per-STEP exponential ramp over
+            # n_epoch_rampup epochs' worth of steps (main_scmt.py:261,515;
+            # state.step == c_epoch * len(syn_loader) + i at step entry)
+            rampup_value = exp_rampup(state.step,
+                                      t.n_epoch_rampup * steps_per_epoch)
+        else:
+            # main_baseline lineage: per-EPOCH sigmoid-shaped ramp
+            # (main_baseline.py:285)
+            rampup_value = sigmoid_rampdown(epoch, t.rampdown_epochs)
         cost = t.max_consistency_cost * rampup_value
         lr = learning_rate(epoch, t.max_learning_rate, t.adjust_lr,
                            t.rampdown_epochs)

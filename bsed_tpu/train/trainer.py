@@ -67,7 +67,8 @@ class Trainer:
         self.rng = jax.random.key(cfg.train.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = create_train_state(cfg, self.modules, init_rng)
-        self.train_step = make_train_step(self.modules)
+        self.train_step = make_train_step(
+            self.modules, steps_per_epoch=len(train_loader))
         self.predict = make_predict_fn(self.modules)
         self.saver = SaveBest("sup")
         self.early_stopping = (

@@ -68,7 +68,7 @@ def test_aux_optimizer_lr_stays_constant():
                                                 stage="adaptation"))
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))
-    step = make_train_step(modules)
+    step = make_train_step(modules, steps_per_epoch=10)
     state, metrics = step(state, make_batch(cfg), jax.random.key(1),
                           jnp.asarray(0.0))
     base = cfg.train.max_learning_rate

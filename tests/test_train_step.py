@@ -43,10 +43,10 @@ def _leaf_delta(a, b):
                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
-def run_steps(cfg, n=2, batch_extra=None):
+def run_steps(cfg, n=2, batch_extra=None, steps_per_epoch=10):
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))
-    step = make_train_step(modules)
+    step = make_train_step(modules, steps_per_epoch=steps_per_epoch)
     batch = make_batch(cfg)
     if batch_extra:
         batch.update(batch_extra)
