@@ -25,6 +25,30 @@ import os
 import sys
 
 
+def _resolve_config(args):
+    """Config resolution order (checkpoint-self-describing eval,
+    TestModel.py:34-120 semantics):
+      1. an explicit --preset always wins;
+      2. else, a --store-dir whose meta.json carries the full saved config
+         rebuilds the training-time Config exactly (incl. audio geometry
+         and model topology) — no flags needed;
+      3. else, the default preset."""
+    from bsed_tpu.config import config_from_dict, get_config
+
+    if getattr(args, "preset", None):
+        return get_config(args.preset)
+    store = getattr(args, "store_dir", None)
+    if store:
+        meta_path = os.path.join(store, "model", "meta.json")
+        if os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "config" in meta:
+                return config_from_dict(meta["config"])
+    return get_config("baseline")
+
+
 def _apply_flags(cfg, args):
     if getattr(args, "tiny_audio", False):
         # smoke-test scale: 2 s clips at a reduced rate (CI / fixtures)
@@ -93,22 +117,28 @@ def _datasets(cfg, args):
 
 
 def _dataset_loaders(cfg, args):
+    import jax
+
     from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
 
     syn, weak, unlab, val = _datasets(cfg, args)
+    # multi-host SPMD: each process feeds its own strided slice of every
+    # stream (run under jax.distributed.initialize(); on a single host this
+    # is (0, 1) — a no-op). The Trainer builds the device mesh itself.
     train_loader = ThreeStreamLoader(syn, weak, unlab,
                                      batch_size=cfg.train.batch_size,
-                                     seed=cfg.train.seed)
+                                     seed=cfg.train.seed,
+                                     process_index=jax.process_index(),
+                                     process_count=jax.process_count())
     val_loader = EvalLoader(val, batch_size=cfg.train.batch_size)
     syn_eval = EvalLoader(syn, batch_size=cfg.train.batch_size)
     return train_loader, val_loader, syn_eval
 
 
 def cmd_train(args):
-    from bsed_tpu.config import get_config
     from bsed_tpu.train.trainer import Trainer
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     train_loader, val_loader, syn_eval = _dataset_loaders(cfg, args)
     trainer = Trainer(cfg, train_loader, val_loader=val_loader,
                       syn_eval_loader=syn_eval if args.eval_syn else None,
@@ -120,10 +150,9 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
-    from bsed_tpu.config import get_config
     from bsed_tpu.eval.test_model import evaluate_checkpoint
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     _, val_loader, _ = _dataset_loaders(cfg, args)
     results = evaluate_checkpoint(
         cfg, val_loader, store_dir=args.store_dir,
@@ -233,14 +262,17 @@ def _psds_sweep(cfg, args, val_loader):
 def cmd_tag_train(args):
     """Weak audio-tagging trainer (audio_tagging_system_cnn.py): step (1) of
     the pseudo-labeling cycle (SURVEY.md §3.4)."""
-    from bsed_tpu.config import get_config
     from bsed_tpu.data.prefetch import prefetch
     from bsed_tpu.train.tagging_trainer import TaggingTrainer
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     train_loader, val_loader, _ = _dataset_loaders(cfg, args)
     trainer = TaggingTrainer(cfg, arch=args.arch,
                              mean_teacher=args.meanteacher)
+    if args.weights_file:
+        # torchvision-style resnet18 state_dict (the reference's
+        # pretrained=True init, audio_tagging_system_cnn.py:50-59)
+        trainer.load_pretrained_torch(args.weights_file)
     best_f1, best_epoch = 0.0, -1
     for epoch in range(args.epochs):
         loss = trainer.train_epoch(
@@ -260,12 +292,11 @@ def cmd_pseudo_label(args):
     """Pseudo-label TSV writer (audio_tagging_inference.py:288-313): step
     (2) of the cycle — tagger weak posteriors over the unlabeled set →
     threshold → decode_weak → TSV consumed by the unlabeled stream."""
-    from bsed_tpu.config import get_config
     from bsed_tpu.data.codec import ManyHotEncoder
     from bsed_tpu.train.tagging_trainer import (TaggingTrainer,
                                                 write_pseudo_labels)
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     _, _, unlab, _ = _datasets(cfg, args)
     codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
                            sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
@@ -281,11 +312,10 @@ def cmd_features(args):
     """Encoder-embedding dumper (save_features.py:235-283)."""
     import jax.numpy as jnp  # noqa: F401  (forces backend init first)
 
-    from bsed_tpu.config import get_config
     from bsed_tpu.data.pipeline import EvalLoader
     from bsed_tpu.eval.features import dump_features, make_encode_fn
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     syn, weak, unlab, val = _datasets(cfg, args)
     split = {"syn": syn, "weak": weak, "unlabeled": unlab,
              "val": val}[args.split]
@@ -357,10 +387,9 @@ def cmd_export(args):
     """Export a trained checkpoint as a reference-format torch pickle so the
     reference's own tooling (TestModel.py) can evaluate/resume it — the
     inverse of `eval --torch-checkpoint`."""
-    from bsed_tpu.config import get_config
     from bsed_tpu.eval.test_model import export_torch_checkpoint
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     _modules, params, stats = _load_eval_params(cfg, args)
     path = export_torch_checkpoint(cfg, params, stats, args.out,
                                    epoch=args.epoch)
@@ -380,13 +409,12 @@ def cmd_predict(args):
     import numpy as np
     import pandas as pd
 
-    from bsed_tpu.config import get_config
     from bsed_tpu.eval.decode import extract_events_batch
     from bsed_tpu.ops.median import threshold_and_filter
     from bsed_tpu.serve import make_fast_forward, predict_long_recording
     from bsed_tpu.utils.audio import read_audio
 
-    cfg = _apply_flags(get_config(args.preset), args)
+    cfg = _apply_flags(_resolve_config(args), args)
     modules, params, stats = _load_eval_params(cfg, args)
     forward = jax.jit(make_fast_forward(cfg, modules, params, stats,
                                         precision=args.precision))
@@ -426,7 +454,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp):
-        sp.add_argument("--preset", default="baseline")
+        sp.add_argument("--preset", default=None,
+                        help="named preset; omitted: rebuilt from the "
+                             "store-dir's meta.json when present")
         sp.add_argument("--data-root", default=None)
         sp.add_argument("--store-dir", default=None)
         sp.add_argument("-s", "--subpart-data", type=int, default=None,
@@ -500,6 +530,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--epochs", type=int, default=1)
     sp.add_argument("--save", default=None,
                     help="path for the best tagger weights (msgpack)")
+    sp.add_argument("--weights-file", default=None,
+                    help="torchvision resnet18 state_dict pickle for "
+                         "pretrained initialization")
     sp.set_defaults(fn=cmd_tag_train)
 
     sp = sub.add_parser("pseudo-label",
@@ -560,7 +593,7 @@ def main(argv=None):
         args.fn(args)
     except KeyError as e:
         from bsed_tpu.config import PRESETS
-        if str(e).strip("'") in getattr(args, "preset", ""):
+        if str(e).strip("'") in (getattr(args, "preset", "") or ""):
             sys.exit(f"error: unknown preset {e}; available: "
                      f"{', '.join(sorted(PRESETS))}")
         raise

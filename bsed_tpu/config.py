@@ -235,6 +235,42 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def config_to_dict(cfg: Config) -> dict:
+    """JSON-serializable dict of the full config tree — written into each
+    run's ``meta.json`` so checkpoints are SELF-DESCRIBING: eval/predict can
+    rebuild the exact Config with no --preset flag, like the reference's
+    TestModel.py rebuilding the model from checkpoint kwargs
+    (/root/reference/src/TestModel.py:34-59)."""
+    return dataclasses.asdict(cfg)
+
+
+def _tupled(v):
+    if isinstance(v, list):
+        return tuple(_tupled(x) for x in v)
+    return v
+
+
+def config_from_dict(d: dict) -> Config:
+    """Inverse of ``config_to_dict`` (tolerates missing keys — fields fall
+    back to their defaults — and JSON's list-for-tuple round-trip)."""
+    def build(cls, sub):
+        kw = {f.name: _tupled(sub[f.name])
+              for f in dataclasses.fields(cls) if f.name in sub}
+        return cls(**kw)
+
+    nested = {"audio": AudioConfig, "model": ModelConfig,
+              "train": TrainConfig, "da": DAConfig, "data": DataConfig}
+    kw = {}
+    for f in dataclasses.fields(Config):
+        if f.name not in d:
+            continue
+        if f.name in nested:
+            kw[f.name] = build(nested[f.name], d[f.name] or {})
+        else:
+            kw[f.name] = _tupled(d[f.name])
+    return Config(**kw)
+
+
 def _cfg(model_name: str, *, model=None, train=None, da=None, **kw) -> Config:
     c = Config(model_name=model_name, **kw)
     if model:

@@ -53,6 +53,10 @@ class OperatingPointCounts:
     fp: np.ndarray        # (C,) DTC-invalid detections
     n_ref: np.ndarray     # (C,) ground-truth event counts
     ct: np.ndarray        # (C, C) cross-trigger counts [detected_as, gt_class]
+    # (C,) total ground-truth annotation duration per class in seconds —
+    # the PSDS cross-trigger rate CTR_{c,k} normalizes CT counts by the
+    # OTHER class's annotation duration T_k (Bilen et al. 2020, eq. 3)
+    gt_dur: Optional[np.ndarray] = None
 
 
 def evaluate_operating_point(
@@ -78,10 +82,12 @@ def evaluate_operating_point(
     det_map = _by_file_class(detections)
     gt_map = _by_file_class(ground_truth)
 
+    gt_dur = np.zeros(n)
     for fname, gt_classes in gt_map.items():
         for label, ev in gt_classes.items():
             if label in idx:
                 n_ref[idx[label]] += len(ev)
+                gt_dur[idx[label]] += float((ev[:, 1] - ev[:, 0]).sum())
 
     files = set(det_map) | set(gt_map)
     for fname in files:
@@ -115,7 +121,7 @@ def evaluate_operating_point(
                         invalid_ev[:, 1] - invalid_ev[:, 0], 1e-12)
                     ct[c, idx[other]] += int((frac >= cttc_threshold).sum())
 
-    return OperatingPointCounts(classes, tp, fp, n_ref, ct)
+    return OperatingPointCounts(classes, tp, fp, n_ref, ct, gt_dur)
 
 
 def compute_macro_f_score(detections: pd.DataFrame,
@@ -157,6 +163,52 @@ def psds_score_report(operating_points: Sequence[OperatingPointCounts],
     return out
 
 
+def _class_rates(op: OperatingPointCounts, hours: float, alpha_ct: float
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(efpr_c, tpr_c) per class for one operating point.
+
+    TPR_c = TP_c / N_c;  FPR_c = FP_c / dataset hours (per-hour rate);
+    CTR_{c,k} = CT_{c,k} / T_k with T_k the total annotated duration of
+    class k in hours (Bilen et al. 2020 eq. 3 — cross-triggers are rated
+    against the OTHER class's annotation duration);
+    eFPR_c = FPR_c + alpha_ct · mean_{k≠c} CTR_{c,k}  (eq. 4)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tpr = np.where(op.n_ref > 0, op.tp / np.maximum(op.n_ref, 1), 0.0)
+    fpr = op.fp / hours
+    n = len(op.classes)
+    if alpha_ct == 0.0 or n <= 1:
+        return fpr, tpr
+    gt_dur = op.gt_dur
+    if gt_dur is None:       # legacy counts without durations: rate against
+        gt_dur = np.full(n, hours * 3600.0)   # the dataset duration
+    dur_h = np.maximum(gt_dur / 3600.0, 1e-12)
+    ctr = op.ct / dur_h[None, :]                       # (C, C) per hour
+    off_diag_mean = (ctr.sum(axis=1) - np.diag(ctr)) / (n - 1)
+    return fpr + alpha_ct * off_diag_mean, tpr
+
+
+def _support_curve(xs: np.ndarray, ys: np.ndarray, max_x: float
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Monotone ROC support curve through (0,0): sort by x, running-max y,
+    one point per unique x, points beyond max_x dropped (a TPR only
+    achievable at an inadmissible eFPR must not enter the integration)."""
+    keep = xs <= max_x
+    xs = np.concatenate([[0.0], xs[keep]])
+    ys = np.concatenate([[0.0], ys[keep]])
+    order = np.argsort(xs, kind="stable")
+    xs, ys = xs[order], np.maximum.accumulate(ys[order])
+    ux, last = np.unique(xs, return_index=False), None
+    # per unique x keep the max (== last after running max)
+    out_y = np.empty_like(ux)
+    j = 0
+    for i, x in enumerate(ux):
+        while j < len(xs) and xs[j] == x:
+            last = ys[j]
+            j += 1
+        out_y[i] = last
+    return ux, out_y
+
+
 def compute_psds(
     operating_points: Sequence[OperatingPointCounts],
     total_duration_s: float,
@@ -164,34 +216,72 @@ def compute_psds(
     alpha_st: float = 0.0,
     max_efpr: float = 100.0,
 ) -> PSDSResult:
-    """PSDS over multiple operating points (evaluation_measures.py:287-315).
+    """PSDS via the psds_eval PSD-ROC construction (the algorithm behind
+    ``psds.psds(alpha_ct, alpha_st, max_efpr)`` that the reference calls at
+    evaluation_measures.py:287-315; Bilen et al., ICASSP 2020):
 
-    Per OP: class TPR = tp/n_ref; class FPR = fp / dataset-hours; class
-    cross-trigger rate averaged over other classes; effective TPR curve =
-    mean_c TPR − alpha_st·std_c TPR at effective FPR = FPR + alpha_ct·cTR.
-    PSDS = AUC of the upper envelope, normalized by max_efpr.
-    """
+      1. per class, collect (eFPR_c, TPR_c) over all operating points (with
+         the alpha_ct cross-trigger term folded into each class's eFPR) and
+         take the monotone ROC *support* curve through (0, 0);
+      2. linearly interpolate every class's support curve onto the union
+         grid of all classes' eFPR values (constant beyond its last point);
+      3. effective TPR(e) = mean_c TPR_c(e) − alpha_st · std_c TPR_c(e),
+         clamped at 0 (std is the population std across classes, eq. 9);
+      4. PSDS = ∫_0^{max_efpr} eTPR(e) de / max_efpr — trapezoidal, exact
+         for the piecewise-linear interpolated curve.
+
+    This is structurally different from collapsing each OP to one
+    (mean eFPR, mean TPR − α·std) point: per-class interpolation lets each
+    class contribute its best admissible TPR at every eFPR, which is what
+    psds_eval reports. The old pointwise estimator remains available as
+    ``compute_psds_pointwise`` (fast preview)."""
+    hours = total_duration_s / 3600.0
+    if not operating_points:
+        grid = np.asarray([0.0, max_efpr])
+        return PSDSResult(0.0, grid, np.zeros(2))
+    classes = operating_points[0].classes
+    n = len(classes)
+    per_op = [_class_rates(op, hours, alpha_ct) for op in operating_points]
+    efpr_mat = np.stack([e for e, _ in per_op])        # (n_ops, C)
+    tpr_mat = np.stack([t for _, t in per_op])
+
+    curves_x, curves_y = [], []
+    for c in range(n):
+        xs, ys = _support_curve(efpr_mat[:, c], tpr_mat[:, c], max_efpr)
+        curves_x.append(xs)
+        curves_y.append(ys)
+
+    grid = np.unique(np.concatenate(curves_x + [[0.0, max_efpr]]))
+    grid = grid[grid <= max_efpr]
+    interp = np.stack([np.interp(grid, xs, ys)
+                       for xs, ys in zip(curves_x, curves_y)])   # (C, G)
+    etpr = np.maximum(interp.mean(axis=0)
+                      - alpha_st * interp.std(axis=0), 0.0)
+    value = float(np.trapezoid(etpr, grid)) / max_efpr
+    return PSDSResult(value, grid, etpr)
+
+
+def compute_psds_pointwise(
+    operating_points: Sequence[OperatingPointCounts],
+    total_duration_s: float,
+    alpha_ct: float = 0.0,
+    alpha_st: float = 0.0,
+    max_efpr: float = 100.0,
+) -> PSDSResult:
+    """Fast preview estimator (NOT psds_eval's algorithm): collapse each
+    operating point to one (mean eFPR, mean TPR − alpha_st·std) point and
+    integrate the upper envelope. Kept for cheap epoch-level monitoring;
+    report ``compute_psds`` numbers."""
     hours = total_duration_s / 3600.0
     pts = [(0.0, 0.0)]
     for op in operating_points:
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tpr = np.where(op.n_ref > 0, op.tp / np.maximum(op.n_ref, 1), 0.0)
-        fpr = op.fp / hours
-        n = len(op.classes)
-        if n > 1:
-            ctr = op.ct.sum(axis=1) / (n - 1) / hours
-        else:
-            ctr = np.zeros(n)
-        e_fpr = float(np.mean(fpr + alpha_ct * ctr))
-        e_tpr = float(np.mean(tpr) - alpha_st * np.std(tpr))
+        efpr_c, tpr_c = _class_rates(op, hours, alpha_ct)
+        e_fpr = float(np.mean(efpr_c))
+        e_tpr = float(np.mean(tpr_c) - alpha_st * np.std(tpr_c))
         pts.append((e_fpr, max(0.0, e_tpr)))
 
-    # operating points beyond max_efpr are inadmissible: their TPR must not
-    # be carried into the integration range (it is only achieved at an
-    # eFPR the metric excludes)
     pts = [(x, y) for x, y in pts if x <= max_efpr]
     pts.sort()
-    # monotone non-decreasing upper envelope (ROC-style)
     xs, ys = [0.0], [0.0]
     best = 0.0
     for x, y in pts:
@@ -202,6 +292,5 @@ def compute_psds(
     ys.append(best)
     xs = np.asarray(xs)
     ys = np.asarray(ys)
-    order = np.argsort(xs, kind="stable")
-    auc = float(np.trapezoid(ys[order], xs[order]))
-    return PSDSResult(auc / max_efpr, xs[order], ys[order])
+    auc = float(np.trapezoid(ys, xs))
+    return PSDSResult(auc / max_efpr, xs, ys)

@@ -9,7 +9,12 @@ event detection"):
   * Event-based: an estimated event matches a reference event of the same
     class in the same file when |onset difference| <= t_collar and
     |offset difference| <= max(t_collar, percentage_of_length * ref
-    duration). Matching is one-to-one and greedy in onset order. Class-wise
+    duration) (both conditions inclusive). Matching is one-to-one MAXIMUM
+    bipartite matching over the hit matrix — sed_eval resolves collisions
+    with its ``_bipartite_match`` (Hopcroft–Karp-style augmenting paths),
+    NOT greedily, and a greedy matcher undercounts TPs whenever an earlier
+    reference event takes the only estimate a later reference could use
+    (pinned by tests/test_decode_metrics.py golden fixtures). Class-wise
     F1 = 2·TP / (Nref + Nsys); the headline number is the class-wise
     (macro) average over the union of classes present in reference and
     estimate, with empty system output scoring zero ('zero_score' handling,
@@ -93,14 +98,32 @@ def event_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,
             offset_ok = (np.abs(est_ev[None, :, 1] - ref_ev[:, None, 1])
                          <= off_collar[:, None])
             hits = onset_ok & offset_ok
-            est_used = np.zeros(len(est_ev), dtype=bool)
-            for j in range(len(ref_ev)):
-                for i in range(len(est_ev)):
-                    if hits[j, i] and not est_used[i]:
-                        est_used[i] = True
-                        cc.tp += 1
-                        break
+            cc.tp += _max_bipartite_tp(hits)
     return counts
+
+
+def _max_bipartite_tp(hits: np.ndarray) -> int:
+    """Maximum one-to-one matching size over the (n_ref, n_est) hit matrix
+    via augmenting paths — sed_eval's collision resolution (its
+    ``_bipartite_match``); greedy matching is NOT equivalent (see module
+    docstring)."""
+    n_ref, n_est = hits.shape
+    est_to_ref = np.full(n_est, -1)
+
+    def augment(j: int, visited: np.ndarray) -> bool:
+        for i in range(n_est):
+            if hits[j, i] and not visited[i]:
+                visited[i] = True
+                if est_to_ref[i] < 0 or augment(est_to_ref[i], visited):
+                    est_to_ref[i] = j
+                    return True
+        return False
+
+    tp = 0
+    for j in range(n_ref):
+        if augment(j, np.zeros(n_est, dtype=bool)):
+            tp += 1
+    return tp
 
 
 def segment_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,

@@ -26,6 +26,24 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def auto_data_mesh(*batch_sizes: int,
+                   devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Largest 1-D data mesh whose size divides every batch stream.
+
+    GSPMD batch sharding needs axis 0 divisible by the mesh size, and the
+    three-stream batch carries streams of different static sizes (SYN =
+    batch_size, real = 2·(batch_size//2)), so the mesh uses the largest
+    device count that divides them all — e.g. batch 12 on an 8-chip host →
+    a 6-chip mesh (set batch_size to a multiple of the chip count to use
+    every chip). Returns None when only one device would qualify."""
+    devices = list(devices) if devices is not None else jax.devices()
+    sizes = [b for b in batch_sizes if b > 0]
+    n = len(devices)
+    while n > 1 and any(b % n for b in sizes):
+        n -= 1
+    return Mesh(np.array(devices[:n]), ("data",)) if n > 1 else None
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 

@@ -181,6 +181,30 @@ class TaggingTrainer:
         self.params = restored["params"]
         self.batch_stats = restored["batch_stats"]
 
+    def load_pretrained_torch(self, path_or_state) -> list:
+        """Initialize the ResNet tagger from a torchvision-style resnet18
+        state_dict (torch pickle path or an in-memory mapping) — the
+        reference's ``models.resnet18(pretrained=True)`` hook
+        (audio_tagging_system_cnn.py:50-59). Shape-mismatched entries (the
+        3-channel ImageNet stem conv, the 1000-class fc — exactly what the
+        reference re-initializes) keep their fresh init. Returns the list
+        of skipped entries."""
+        from bsed_tpu.utils import torch_compat as tc
+
+        state = path_or_state
+        if isinstance(state, (str, os.PathLike)):
+            import torch
+            state = torch.load(state, map_location="cpu",
+                               weights_only=False)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        self.params, self.batch_stats, skipped = tc.convert_resnet18_tagger(
+            state, self.params, self.batch_stats)
+        if skipped:
+            self.log.info("pretrained init: kept fresh init for %s",
+                          ", ".join(skipped))
+        return skipped
+
 
 def write_pseudo_labels(predict_weak: Callable[[np.ndarray], np.ndarray],
                         dataset, out_tsv: str, encoder: ManyHotEncoder,

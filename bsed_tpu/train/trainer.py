@@ -32,6 +32,7 @@ from bsed_tpu.eval.decode import (decode_batch, durations_df,
 from bsed_tpu.eval.psds import compute_macro_f_score
 from bsed_tpu.eval.sed_scores import event_based_f1
 from bsed_tpu.eval.tagging import TaggingF1Accumulator
+from bsed_tpu.parallel.mesh import auto_data_mesh, replicate, shard_batch
 from bsed_tpu.train.steps import (TrainModules, build_modules,
                                   create_train_state, make_predict_fn,
                                   make_train_step)
@@ -46,7 +47,8 @@ class Trainer:
                  syn_eval_loader: Optional[EvalLoader] = None,
                  store_dir: Optional[str] = None,
                  use_tensorboard: bool = False,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 mesh="auto"):
         self.cfg = cfg
         # when set, the first trained epoch is captured as a jax.profiler
         # device trace (TensorBoard/Perfetto) — utils/profiling.py
@@ -67,6 +69,21 @@ class Trainer:
         self.rng = jax.random.key(cfg.train.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = create_train_state(cfg, self.modules, init_rng)
+        # SPMD data parallelism (SURVEY §2.3): on a multi-chip host the
+        # trainer transparently builds a 1-D data mesh, replicates the train
+        # state, and shards each batch on axis 0 — GSPMD turns the step's
+        # jnp reductions (loss means, BatchNorm batch stats) into cross-chip
+        # psums over ICI. mesh="auto" (default, zero flags): mesh iff >1
+        # device; pass an explicit jax.sharding.Mesh or None/"off" to force.
+        if mesh == "auto":
+            bs = cfg.train.batch_size
+            self.mesh = auto_data_mesh(bs, 2 * (bs // 2))
+        elif mesh in (None, "off"):
+            self.mesh = None
+        else:
+            self.mesh = mesh
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(
             self.modules, steps_per_epoch=len(train_loader))
         self.predict = make_predict_fn(self.modules)
@@ -74,12 +91,18 @@ class Trainer:
         self.early_stopping = (
             EarlyStopping(cfg.train.early_stopping, cfg.train.es_init_wait)
             if cfg.train.early_stopping else None)
+        # writer is created lazily in fit(): a resume must pass
+        # purge_step=start_epoch so re-run epochs don't leave duplicate
+        # scalars (main_baseline.py:656)
+        self.use_tensorboard = use_tensorboard
         self.writer = None
-        if use_tensorboard:
-            from tensorboardX import SummaryWriter
-            self.writer = SummaryWriter(os.path.join(self.store_dir, "log"))
         self.history: list = []
+        from bsed_tpu.config import config_to_dict
         self.ckpt.save_meta({
+            # full config: the checkpoint is self-describing — `cli eval
+            # --store-dir X` rebuilds this exact Config with no --preset
+            # (TestModel.py:34-59 semantics)
+            "config": config_to_dict(cfg),
             "model_name": cfg.model_name,
             "crnn_kwargs": {
                 "nb_filters": cfg.model.nb_filters,
@@ -106,6 +129,8 @@ class Trainer:
                 disc_params=self.state.disc_params,
                 disc_opt_state=self.state.disc_opt_state,
                 disc_batch_stats=self.state.disc_batch_stats)
+        if self.mesh is not None:   # restored arrays land on one device
+            restored = replicate(self.mesh, restored)
         self.state = restored
 
     # ------------------------------------------------------------------
@@ -113,31 +138,40 @@ class Trainer:
         meters = AverageMeterSet()
         start = time.time()
         n_steps = 0
-        # device-side loss history: the host syncs only every 10th step (to
-        # keep dispatch pipelined), but the finiteness check covers EVERY
-        # step since the last sync — a NaN can surface at most 9 steps late,
-        # never silently (reference asserts per step, main_baseline.py:564)
-        pending_losses = []
-        for batch in prefetch(self.train_loader.epoch(epoch), depth=2):
+        # device-side metric history: the host syncs only every 10th step
+        # (to keep dispatch pipelined) but EVERY step's full metrics dict is
+        # stacked device-side, so the finiteness guard and the epoch meters
+        # cover every step (reference updates meters per step,
+        # main_baseline.py:188, and asserts per step, :564) — a NaN can
+        # surface at most 9 steps late, never silently
+        pending: list = []
+        batches = self.train_loader.epoch(epoch)
+        if self.mesh is not None:
+            # shard on the producer side so the device_put (async) overlaps
+            # the consumer's step dispatch
+            mesh = self.mesh
+            batches = (shard_batch(mesh, b) for b in batches)
+        for batch in prefetch(batches, depth=2):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
                 self.state, batch, step_rng, jnp.asarray(epoch, jnp.float32))
-            pending_losses.append(metrics["loss"])
+            pending.append(metrics)
             n_steps += 1
             if n_steps % 10 == 0 or n_steps == len(self.train_loader):
-                losses = np.asarray(jnp.stack(pending_losses))
-                assert np.isfinite(losses).all() and (losses < 1e5).all(), \
-                    f"Loss explosion within steps " \
-                    f"{n_steps - len(losses) + 1}..{n_steps}: {losses}"
-                pending_losses = []
-                for k, v in metrics.items():
-                    v = float(v)
-                    assert not (np.isnan(v) or v > 1e5), \
-                        f"Loss explosion in {k}: {v}"
-                    meters.update(k, v)
-                    if self.writer is not None:
-                        step = int(self.state.step)
-                        self.writer.add_scalar(k, v, step)
+                stacked = {k: np.asarray(jnp.stack([m[k] for m in pending]))
+                           for k in pending[0]}
+                base_step = int(self.state.step) - len(pending)
+                pending = []
+                for k, vals in stacked.items():
+                    assert np.isfinite(vals).all() and (vals < 1e5).all(), \
+                        f"Loss explosion in {k} within steps " \
+                        f"{n_steps - len(vals) + 1}..{n_steps}: {vals}"
+                    for i, v in enumerate(vals):
+                        meters.update(k, float(v))
+                        if self.writer is not None:
+                            self.writer.add_scalar(k, float(v),
+                                                   base_step + 1 + i)
+        self.last_meters = meters   # exposed for tests/inspection
         avgs = meters.averages()
         self.log.info("Epoch %d: %d steps in %.1fs  %s", epoch, n_steps,
                       time.time() - start, meters)
@@ -161,7 +195,10 @@ class Trainer:
         tagging = TaggingF1Accumulator(self.cfg.nclass)
         filenames_all = []
         for mel, target, names, n_valid in loader:
-            strong, weak = self.predict(params, stats, jnp.asarray(mel),
+            mel = jnp.asarray(mel)
+            if self.mesh is not None:   # rows are independent: pure DP
+                mel = shard_batch(self.mesh, mel)
+            strong, weak = self.predict(params, stats, mel,
                                         inference=self.cfg.model.use_fpn)
             strong = np.asarray(strong)[:n_valid]
             weak = np.asarray(weak)[:n_valid]
@@ -201,6 +238,13 @@ class Trainer:
             start_epoch: int = 0) -> Dict[str, float]:
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epoch
+        if self.use_tensorboard and self.writer is None:
+            from tensorboardX import SummaryWriter
+            # purge_step: a resume overwrites the re-run epochs' scalars
+            # instead of duplicating them (main_baseline.py:656)
+            self.writer = SummaryWriter(
+                os.path.join(self.store_dir, "log"),
+                purge_step=start_epoch if start_epoch > 0 else None)
         if start_epoch > 0:
             self.resume(start_epoch)
         best = {}

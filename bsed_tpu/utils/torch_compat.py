@@ -215,3 +215,76 @@ def export_predictor(params: Mapping) -> Dict[str, np.ndarray]:
         out["dense_softmax.bias"] = np.asarray(
             params["dense_softmax"]["bias"])
     return out
+
+
+def convert_resnet18_tagger(state: Mapping[str, np.ndarray], params: Dict,
+                            batch_stats: Dict) -> Tuple[Dict, Dict, list]:
+    """Map a torchvision-style resnet18 state_dict onto ResNet18Tagger's
+    trees (models/resnet.py), the reference's pretrained-weights path
+    (audio_tagging_system_cnn.py:50-59: ``models.resnet18(pretrained=True)``
+    with the stem conv REBUILT for 1-channel input and ``fc`` REBUILT for
+    nclass outputs).
+
+    ``params``/``batch_stats`` are the current (template) trees; entries
+    whose torch counterpart is missing or shape-mismatched — the 3-channel
+    ImageNet stem conv and the 1000-class fc, exactly the parts the
+    reference re-initializes — keep their current values. Accepts both bare
+    torchvision keys (``conv1.weight``) and the reference module's
+    ``resnet.``-prefixed ones. Returns (params, batch_stats,
+    skipped_keys)."""
+    import jax
+
+    state = {k[len("resnet."):] if k.startswith("resnet.") else k: v
+             for k, v in state.items()}
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    skipped = []
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        if node[path[-1]].shape != value.shape:
+            skipped.append("/".join(path))
+            return
+        node[path[-1]] = value.astype(node[path[-1]].dtype)
+
+    def put_conv(name_t, path):
+        if name_t + ".weight" in state:
+            put(params, path + ["kernel"],
+                convert_conv(state[name_t + ".weight"])["kernel"])
+        else:
+            skipped.append("/".join(path))
+
+    def put_bn(name_t, path):
+        if name_t + ".weight" not in state:
+            skipped.append("/".join(path))
+            return
+        p, s = convert_bn(state, name_t + ".")
+        put(params, path + ["scale"], p["scale"])
+        put(params, path + ["bias"], p["bias"])
+        put(batch_stats, path + ["mean"], s["mean"])
+        put(batch_stats, path + ["var"], s["var"])
+
+    put_conv("conv1", ["stem_conv"])
+    put_bn("bn1", ["stem_bn"])
+    for s in range(4):
+        for b in range(2):
+            t = f"layer{s + 1}.{b}"
+            f = f"layer{s + 1}_block{b}"
+            put_conv(t + ".conv1", [f, "conv1"])
+            put_bn(t + ".bn1", [f, "bn1"])
+            put_conv(t + ".conv2", [f, "conv2"])
+            put_bn(t + ".bn2", [f, "bn2"])
+            if f"{t}.downsample.0.weight" in state and \
+                    "downsample_conv" in params.get(f, {}):
+                put_conv(t + ".downsample.0", [f, "downsample_conv"])
+                put_bn(t + ".downsample.1", [f, "downsample_bn"])
+    if "fc.weight" in state:
+        d = convert_dense(state["fc.weight"], state.get("fc.bias"))
+        put(params, ["fc", "kernel"], d["kernel"])
+        if "bias" in d:
+            put(params, ["fc", "bias"], d["bias"])
+    else:
+        skipped.append("fc")
+    return params, batch_stats, skipped

@@ -216,3 +216,178 @@ def test_extract_events_batch_matches_per_column_loop():
                     want.add((k, b, c, int(a), int(z)))
     assert got == want
     assert (off_t > on_t).all()
+
+
+def test_psds_per_class_roc_hand_derived():
+    """VERDICT r2 item 3 done-criterion: 2-class/3-value golden where the
+    per-class PSD-ROC construction (psds_eval's algorithm) demonstrably
+    differs from the pointwise-OP preview, checked against by-hand
+    arithmetic.
+
+    Setup (dataset 1 h, classes A and B, 1 GT event and 1 h annotated
+    duration each):
+      OP1: A(tp=1, fp=0)  B(tp=0, fp=0)   → A point (0, 1),  B point (0, 0)
+      OP2: A(tp=1, fp=0)  B(tp=1, fp=50)  → A point (0, 1),  B point (50, 1)
+
+    Per-class curves (linear interp): TPR_A(e) = 1; TPR_B(e) = e/50 for
+    e ≤ 50 then 1.
+      α_st=0: PSDS = (∫₀⁵⁰ (0.5 + e/100) de + 50) / 100
+                   = (25 + 12.5 + 50) / 100             = 0.875
+      α_st=1: eTPR = mean − std = TPR_B(e)  →  (25 + 50)/100 = 0.75
+      α_ct=1 with CT_{B,A} = 25 on OP2 (CTR per hour of A's annotations):
+              eFPR_B(OP2) = 50 + 25 = 75 → TPR_B(e) = e/75
+              PSDS = (0.5·75 + 75/4 + 25)/100           = 0.8125
+    Pointwise preview at α=0 collapses OPs to (0, 0.5) and (25, 1):
+      trapezoid over the envelope = (25·0.75 + 75)/100  = 0.9375 ≠ 0.875.
+    """
+    from bsed_tpu.eval.psds import (OperatingPointCounts, compute_psds,
+                                    compute_psds_pointwise)
+
+    classes = ["A", "B"]
+    hour_s = 3600.0
+    gt_dur = np.array([hour_s, hour_s])
+    n_ref = np.array([1.0, 1.0])
+    op1 = OperatingPointCounts(classes, tp=np.array([1.0, 0.0]),
+                               fp=np.array([0.0, 0.0]), n_ref=n_ref,
+                               ct=np.zeros((2, 2)), gt_dur=gt_dur)
+    op2 = OperatingPointCounts(classes, tp=np.array([1.0, 1.0]),
+                               fp=np.array([0.0, 50.0]), n_ref=n_ref,
+                               ct=np.array([[0.0, 0.0], [25.0, 0.0]]),
+                               gt_dur=gt_dur)
+    ops = [op1, op2]
+
+    assert np.isclose(compute_psds(ops, hour_s).value, 0.875)
+    assert np.isclose(compute_psds(ops, hour_s, alpha_st=1.0).value, 0.75)
+    assert np.isclose(compute_psds(ops, hour_s, alpha_ct=1.0).value, 0.8125)
+    # the pointwise preview is a structurally different estimator
+    assert np.isclose(compute_psds_pointwise(ops, hour_s).value, 0.9375)
+
+
+def test_psds_inadmissible_point_excluded():
+    """A class point beyond max_efpr must not carry its TPR into the
+    integration range (it is only achieved at an excluded eFPR)."""
+    from bsed_tpu.eval.psds import OperatingPointCounts, compute_psds
+
+    classes = ["A"]
+    op = OperatingPointCounts(classes, tp=np.array([1.0]),
+                              fp=np.array([500.0]), n_ref=np.array([1.0]),
+                              ct=np.zeros((1, 1)),
+                              gt_dur=np.array([3600.0]))
+    res = compute_psds([op], total_duration_s=3600.0, max_efpr=100.0)
+    assert res.value == 0.0
+
+
+# ---------------------------------------------------------------------------
+# sed_eval-semantics golden fixtures (VERDICT r2 item 4): adversarial
+# matching cases with hand-derived TP/FP/FN per Mesaros et al. 2016,
+# "Metrics for polyphonic sound event detection" (the definitions sed_eval
+# implements and the reference reports through evaluation_measures.py:47-84)
+# ---------------------------------------------------------------------------
+
+def _df(rows):
+    return pd.DataFrame(rows, columns=["filename", "event_label", "onset",
+                                       "offset"])
+
+
+def _counts(ref, est, **kw):
+    from bsed_tpu.eval.sed_scores import event_based_counts
+    return event_based_counts(_df(ref), _df(est), **kw)
+
+
+def test_golden_two_estimates_one_collar():
+    """Two estimates both inside one reference's collar: matching is
+    one-to-one → TP=1, the second estimate is an FP (n_sys=2)."""
+    ref = [("f", "EATO", 1.0, 2.0)]
+    est = [("f", "EATO", 1.05, 2.05), ("f", "EATO", 0.95, 1.95)]
+    c = _counts(ref, est)["EATO"]
+    assert (c.tp, c.n_ref, c.n_sys) == (1, 1, 2)
+    # F1 = 2·1/(1+2) = 2/3 (Mesaros 2016 eq. 9 with Nref+Nsys denominator)
+    assert np.isclose(c.f_measure, 2 / 3)
+
+
+def test_golden_bipartite_forced_collision():
+    """sed_eval resolves collisions by MAXIMUM bipartite matching
+    (_bipartite_match), not greedily. Hand hit matrix with collar 0.2 and
+    20% length (offset collar depends on the REF duration, 1.0 → 0.2):
+      ref1 (0.00, 1.00) vs est1 (0.10, 1.10): Δon .1 ok, Δoff .1 ok → hit
+      ref1 (0.00, 1.00) vs est2 (0.20, 0.80): Δon .2 ok, Δoff .2 ok → hit
+      ref2 (0.30, 1.30) vs est1 (0.10, 1.10): Δon .2 ok, Δoff .2 ok → hit
+      ref2 (0.30, 1.30) vs est2 (0.20, 0.80): Δon .1 ok, Δoff .5 >.2 → miss
+    A greedy pass over refs in onset order (take the first unused estimate)
+    pairs ref1→est1 and strands ref2 (only est1 fits it) → TP=1; the
+    maximum matching reassigns ref1→est2, ref2→est1 → TP=2. sed_eval
+    reports 2."""
+    ref = [("f", "EATO", 0.00, 1.00),
+           ("f", "EATO", 0.30, 1.30)]
+    est = [("f", "EATO", 0.10, 1.10),
+           ("f", "EATO", 0.20, 0.80)]
+    c = _counts(ref, est)["EATO"]
+    assert (c.tp, c.n_ref, c.n_sys) == (2, 2, 2)
+    assert np.isclose(c.f_measure, 1.0)
+
+
+def test_golden_offset_exactly_at_20pct():
+    """Offset tolerance = max(t_collar, 0.2·ref_duration), INCLUSIVE at the
+    boundary: ref (0, 5) → offset collar max(0.2, 1.0) = 1.0; an estimate
+    offset error of exactly 1.0 still matches; 1.0+ϵ does not."""
+    ref = [("f", "EATO", 0.0, 5.0)]
+    ok = [("f", "EATO", 0.1, 6.0)]       # |5-6| = 1.0 == collar
+    c = _counts(ref, ok)["EATO"]
+    assert c.tp == 1
+    miss = [("f", "EATO", 0.1, 6.01)]    # 1.01 > 1.0
+    c = _counts(ref, miss)["EATO"]
+    assert (c.tp, c.n_ref, c.n_sys) == (0, 1, 1)
+    assert c.f_measure == 0.0
+
+
+def test_golden_onset_exactly_at_collar():
+    """Onset condition |Δonset| ≤ t_collar is inclusive at 0.2."""
+    ref = [("f", "EATO", 1.0, 1.5)]
+    assert _counts(ref, [("f", "EATO", 1.2, 1.5)])["EATO"].tp == 1
+    assert _counts(ref, [("f", "EATO", 1.21, 1.5)])["EATO"].tp == 0
+
+
+def test_golden_same_label_cross_file():
+    """Identical (label, onset, offset) in a DIFFERENT file never matches:
+    TP=0, one FP in f2, one FN in f1."""
+    ref = [("f1", "EATO", 1.0, 2.0)]
+    est = [("f2", "EATO", 1.0, 2.0)]
+    c = _counts(ref, est)["EATO"]
+    assert (c.tp, c.n_ref, c.n_sys) == (0, 1, 1)
+    assert c.f_measure == 0.0
+
+
+def test_golden_empty_system_zero_score():
+    """Empty system output: every reference class scores 0 (the reference's
+    zero_score fallback, evaluation_measures.py:72-84) and macro F1 is 0."""
+    from bsed_tpu.eval.sed_scores import event_based_f1
+    ref = [("f", "EATO", 1.0, 2.0), ("f", "WOTH", 3.0, 4.0)]
+    assert event_based_f1(_df(ref), _df([])) == 0.0
+
+
+def test_golden_macro_over_class_union():
+    """Macro average runs over the UNION of classes in reference and
+    estimate: a hallucinated class (in estimate only) contributes F1=0 to
+    the average. EATO perfect (F1 1.0), BCCH estimate-only (F1 0) →
+    macro = 0.5."""
+    from bsed_tpu.eval.sed_scores import (event_based_counts,
+                                          macro_f_measure)
+    ref = [("f", "EATO", 1.0, 2.0)]
+    est = [("f", "EATO", 1.0, 2.0), ("f", "BCCH", 5.0, 6.0)]
+    counts = event_based_counts(_df(ref), _df(est))
+    assert set(counts) == {"EATO", "BCCH"}
+    assert counts["EATO"].f_measure == 1.0
+    assert counts["BCCH"].f_measure == 0.0
+    assert np.isclose(macro_f_measure(counts), 0.5)
+
+
+def test_golden_segment_based_boundary():
+    """Segment-based (1 s resolution): an event (0.5, 2.2) activates
+    segments 0, 1, 2 (ceil to segment edges); estimate (0.9, 1.1) activates
+    0, 1 → TP=2, FN=1, per-segment counting (Mesaros 2016 §3.1)."""
+    from bsed_tpu.eval.sed_scores import segment_based_counts
+    ref = [("f", "EATO", 0.5, 2.2)]
+    est = [("f", "EATO", 0.9, 1.1)]
+    c = segment_based_counts(_df(ref), _df(est), time_resolution=1.0,
+                             file_duration=10.0)["EATO"]
+    assert (c.tp, c.n_ref, c.n_sys) == (2, 3, 2)

@@ -141,3 +141,53 @@ class TorchPredictor(nn.Module):
 
 def state_dict_numpy(model) -> dict:
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+class TorchBasicBlock(nn.Module):
+    """torchvision-compatible resnet BasicBlock (key names conv1/bn1/conv2/
+    bn2/downsample.{0,1}) — oracle for convert_resnet18_tagger."""
+
+    def __init__(self, n_in, n_out, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(n_in, n_out, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(n_out)
+        self.conv2 = nn.Conv2d(n_out, n_out, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(n_out)
+        self.downsample = None
+        if stride != 1 or n_in != n_out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(n_in, n_out, 1, stride, bias=False),
+                nn.BatchNorm2d(n_out))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + r)
+
+
+class TorchResNet18(nn.Module):
+    """torchvision-resnet18-shaped network with the reference's surgery
+    applied (1-channel conv1, nclass fc — audio_tagging_system_cnn.py:55-58)
+    and a sigmoid head, mirroring ResNet18Tagger."""
+
+    def __init__(self, nclass=20, in_ch=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        feats = [64, 128, 256, 512]
+        for s, f in enumerate(feats):
+            n_in = 64 if s == 0 else feats[s - 1]
+            layer = nn.Sequential(
+                TorchBasicBlock(n_in, f, stride=1 if s == 0 else 2),
+                TorchBasicBlock(f, f))
+            setattr(self, f"layer{s + 1}", layer)
+        self.fc = nn.Linear(512, nclass)
+
+    def forward(self, x):  # x: (B, 1, H, W)
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+        x = x.mean(dim=(2, 3))
+        return torch.sigmoid(self.fc(x))
