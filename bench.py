@@ -153,18 +153,21 @@ def bench_train_e2e() -> dict:
     loader = ThreeStreamLoader(syn, weak, unlab,
                                batch_size=cfg.train.batch_size,
                                device_resident=True)
-    key = jax.random.key(1)
+    # one key + one epoch scalar per epoch — the step folds state.step into
+    # the key itself, so the loop issues exactly two dispatches per step
+    # (batch assembly + train step), like Trainer.train_epoch
+    keys = list(jax.random.split(jax.random.key(1), 3))
+    epochs = [jnp.asarray(float(e)) for e in range(3)]
+    jax.block_until_ready(keys)
     for batch in loader.epoch(0):  # compile + array upload
-        key, k = jax.random.split(key)
-        state, m = step(state, batch, k, jnp.asarray(0.0))
+        state, m = step(state, batch, keys[0], epochs[0])
     jax.block_until_ready(m["loss"])
     best = float("inf")
     for e in (1, 2):
         n = 0
         t0 = time.perf_counter()
         for batch in prefetch(loader.epoch(e), depth=2):
-            key, k = jax.random.split(key)
-            state, m = step(state, batch, k, jnp.asarray(float(e)))
+            state, m = step(state, batch, keys[e], epochs[e])
             n += 1
         jax.block_until_ready(m["loss"])
         best = min(best, (time.perf_counter() - t0) / n)

@@ -92,33 +92,42 @@ class ThreeStreamLoader:
             self._dev_arrays[key] = tuple(jnp.asarray(a) for a in arrays)
         return self._dev_arrays[key]
 
-    def _assemble_real(self, weak_arr, unlab_arr, w_ids, u_ids):
-        """The real-stream gather/reduce/concat as ONE program.
+    def _assemble_batch(self, syn_arr, weak_arr, unlab_arr, s_ids, w_ids,
+                        u_ids):
+        """The ENTIRE batch — syn gather + real-stream gather/reduce/concat
+        — as ONE program.
 
         On the device path every numpy-style op on a jax array is its own
         dispatch (~10 per batch adds up against a ~1 ms step), so the whole
-        assembly is jitted once; on the host path it runs as plain numpy.
-        """
-        wt_rank = weak_arr[1].ndim
-        ut_rank = unlab_arr[1].ndim
+        assembly is jitted once and the loop issues exactly one dispatch
+        per batch; on the host path it runs as plain numpy."""
+        has_real = weak_arr is not None and unlab_arr is not None
+        wt_rank = weak_arr[1].ndim if has_real else 0
+        ut_rank = unlab_arr[1].ndim if has_real else 0
 
-        def asm(wf, wt, uf, ut, wi, ui):
-            real = _cat(wf[wi], uf[ui])
-            w_weak = wt[wi]
-            u_weak = ut[ui]
-            w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
-            u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
-            out = {"real": real, "real_weak": _cat(w_red, u_red)}
-            if wt_rank == 3 and ut_rank == 3:
-                out["real_strong"] = _cat(w_weak, u_weak)
+        def asm(sf, st, si, wf=None, wt=None, uf=None, ut=None, wi=None,
+                ui=None):
+            out = {"syn": sf[si], "syn_strong": st[si]}
+            if has_real:
+                out["real"] = _cat(wf[wi], uf[ui])
+                w_weak = wt[wi]
+                u_weak = ut[ui]
+                w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
+                u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
+                out["real_weak"] = _cat(w_red, u_red)
+                if wt_rank == 3 and ut_rank == 3:
+                    out["real_strong"] = _cat(w_weak, u_weak)
             return out
 
-        if isinstance(weak_arr[0], np.ndarray):
-            return asm(*weak_arr, *unlab_arr, w_ids, u_ids)
+        args = (*syn_arr, s_ids)
+        if has_real:
+            args = args + (*weak_arr, *unlab_arr, w_ids, u_ids)
+        if isinstance(syn_arr[0], np.ndarray):
+            return asm(*args)
         if not hasattr(self, "_assemble_jit"):
             import jax
             self._assemble_jit = jax.jit(asm)
-        return self._assemble_jit(*weak_arr, *unlab_arr, w_ids, u_ids)
+        return self._assemble_jit(*args)
 
     def _use_device(self, arrays) -> bool:
         if self.device_resident is not None:
@@ -149,6 +158,18 @@ class ThreeStreamLoader:
 
         for b in range(len(self)):
             ids = syn_idx[order[b * self.batch_size:(b + 1) * self.batch_size]]
+            # fully-arrayed fast path: the whole batch in ONE (jitted on
+            # device) gather/assembly program
+            if syn_arr is not None and (
+                    weak_stream is None or
+                    (weak_arr is not None and unlab_arr is not None)):
+                w_ids = u_ids = None
+                if weak_stream is not None:
+                    w_ids = np.asarray(next(weak_stream))
+                    u_ids = np.asarray(next(unlab_stream))
+                yield self._assemble_batch(syn_arr, weak_arr, unlab_arr,
+                                           np.asarray(ids), w_ids, u_ids)
+                continue
             if syn_arr is not None:
                 batch = {"syn": syn_arr[0][ids],
                          "syn_strong": syn_arr[1][ids]}
@@ -161,30 +182,25 @@ class ThreeStreamLoader:
             if weak_stream is not None and unlab_stream is not None:
                 w_ids = next(weak_stream)
                 u_ids = next(unlab_stream)
-                if weak_arr is not None and unlab_arr is not None:
-                    batch.update(self._assemble_real(
-                        weak_arr, unlab_arr, np.asarray(w_ids),
-                        np.asarray(u_ids)))
-                else:
-                    weak_items = [self.weak[i] for i in w_ids]
-                    unlab_items = [self.unlab[i] for i in u_ids]
-                    batch["real"] = np.stack(
-                        [it[0] for it in weak_items]
-                        + [it[0] for it in unlab_items])
-                    # weak stream carries strong targets → reduce to weak
-                    weak_targets = [
-                        it[1].max(axis=0) if it[1].ndim == 2 else it[1]
-                        for it in weak_items]
-                    pl_targets = [
-                        it[1].max(axis=0) if it[1].ndim == 2 else it[1]
-                        for it in unlab_items]
-                    batch["real_weak"] = np.stack(weak_targets + pl_targets)
-                    # ENA-supervised variant needs real strong targets too
-                    if all(it[1].ndim == 2
-                           for it in weak_items + unlab_items):
-                        batch["real_strong"] = np.stack(
-                            [it[1] for it in weak_items]
-                            + [it[1] for it in unlab_items])
+                weak_items = [self.weak[i] for i in w_ids]
+                unlab_items = [self.unlab[i] for i in u_ids]
+                batch["real"] = np.stack(
+                    [it[0] for it in weak_items]
+                    + [it[0] for it in unlab_items])
+                # weak stream carries strong targets → reduce to weak
+                weak_targets = [
+                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                    for it in weak_items]
+                pl_targets = [
+                    it[1].max(axis=0) if it[1].ndim == 2 else it[1]
+                    for it in unlab_items]
+                batch["real_weak"] = np.stack(weak_targets + pl_targets)
+                # ENA-supervised variant needs real strong targets too
+                if all(it[1].ndim == 2
+                       for it in weak_items + unlab_items):
+                    batch["real_strong"] = np.stack(
+                        [it[1] for it in weak_items]
+                        + [it[1] for it in unlab_items])
             yield batch
 
 

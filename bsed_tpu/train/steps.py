@@ -382,6 +382,12 @@ def make_train_step(modules: TrainModules,
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, epoch: jnp.ndarray):
+        # fold the step counter into the key INSIDE the program: callers can
+        # pass one constant key per epoch (zero per-step host dispatches —
+        # under a tunneled backend the per-step jax.random.split was a
+        # measurable slice of the e2e gap) and still get distinct
+        # per-step randomness; distinct caller keys keep working unchanged
+        rng = jax.random.fold_in(rng, state.step)
         keys = jax.random.split(rng, 20)
         (k_noise, k_shift, k_s1, k_s2, k_s3, k_s4, k_s5, k_s6,
          k_t1, k_t2, k_t3, k_da, k_mix, k_mix2, k_t4, k_umix, k_umix2,

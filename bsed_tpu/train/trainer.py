@@ -151,10 +151,14 @@ class Trainer:
             # the consumer's step dispatch
             mesh = self.mesh
             batches = (shard_batch(mesh, b) for b in batches)
+        # ONE key + ONE epoch scalar per epoch: the step folds state.step
+        # into the key itself, so the loop body issues no per-step host→
+        # device transfers beyond the batch (tunnel dispatch economy)
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        epoch_arr = jnp.asarray(epoch, jnp.float32)
         for batch in prefetch(batches, depth=2):
-            self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
-                self.state, batch, step_rng, jnp.asarray(epoch, jnp.float32))
+                self.state, batch, epoch_rng, epoch_arr)
             pending.append(metrics)
             n_steps += 1
             if n_steps % 10 == 0 or n_steps == len(self.train_loader):

@@ -75,6 +75,9 @@ def test_supervised_baseline_step():
 
 
 def test_supervised_loss_decreases():
+    # epoch 30: the baseline lineage's lr ramp is at its 1e-3 max there
+    # (epoch 0 would be ~4e-9 — parameter motion far below dropout noise;
+    # the step folds state.step into the key, so masks differ per step)
     cfg = small_cfg("baseline")
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))
@@ -83,7 +86,7 @@ def test_supervised_loss_decreases():
     losses = []
     for i in range(8):
         state, metrics = step(state, batch, jax.random.key(42),
-                              jnp.asarray(0.0))
+                              jnp.asarray(30.0))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
 
