@@ -144,7 +144,8 @@ def cmd_train(args):
                       syn_eval_loader=syn_eval if args.eval_syn else None,
                       store_dir=args.store_dir,
                       use_tensorboard=args.tensorboard,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      grad_flow=args.grad_flow)
     best = trainer.fit(n_epochs=args.epochs, start_epoch=args.start_epoch)
     print(best)
 
@@ -481,6 +482,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler device trace of the first "
                          "trained epoch into this directory")
+    sp.add_argument("--grad-flow", action="store_true",
+                    help="per-parameter mean-|grad| metrics + "
+                         "gradient_flow.png per epoch "
+                         "(plot_grad_flow, main_baseline.py:108-123)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")

@@ -208,11 +208,17 @@ def _log_input(linear_mel: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_train_step(modules: TrainModules,
-                    steps_per_epoch: Optional[int] = None) -> Callable:
+                    steps_per_epoch: Optional[int] = None,
+                    grad_flow: bool = False) -> Callable:
     """Build the jitted step. ``steps_per_epoch`` (= len(syn_loader)) is
     required when ``cfg.train.cost_ramp == "exp_step"``: that lineage's
     consistency cost ramps with exp_rampup(global_step,
-    n_epoch_rampup * len(syn_loader)) (main_scmt.py:261,515)."""
+    n_epoch_rampup * len(syn_loader)) (main_scmt.py:261,515).
+
+    ``grad_flow=True`` adds per-parameter mean-|grad| diagnostics to the
+    metrics dict (``grad_abs/<path>`` for every non-bias leaf) — the
+    reference's plot_grad_flow diagnostic (main_baseline.py:108-123),
+    computed inside the jitted step instead of a host-side hook."""
     cfg = modules.cfg
     t = cfg.train
     encoder, predictor = modules.encoder, modules.predictor
@@ -662,6 +668,12 @@ def make_train_step(modules: TrainModules,
             (loss, (new_stats, loss_metrics)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
         metrics.update(loss_metrics)
+        if grad_flow:
+            for path, g in jax.tree_util.tree_leaves_with_path(grads):
+                name = jax.tree_util.keystr(path).replace("']['", ".") \
+                    .strip("[']")
+                if "bias" not in name:
+                    metrics[f"grad_abs/{name}"] = jnp.abs(g).mean()
 
         updates, new_opt_state = modules.optimizer.update(
             grads, state.opt_state, state.params)

@@ -48,8 +48,11 @@ class Trainer:
                  store_dir: Optional[str] = None,
                  use_tensorboard: bool = False,
                  profile_dir: Optional[str] = None,
-                 mesh="auto"):
+                 mesh="auto", grad_flow: bool = False):
         self.cfg = cfg
+        # grad_flow: per-parameter mean-|grad| in the step metrics +
+        # gradient_flow.png per epoch (plot_grad_flow, main_baseline.py:108)
+        self.grad_flow = grad_flow
         # when set, the first trained epoch is captured as a jax.profiler
         # device trace (TensorBoard/Perfetto) — utils/profiling.py
         self.profile_dir = profile_dir
@@ -85,7 +88,8 @@ class Trainer:
         if self.mesh is not None:
             self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(
-            self.modules, steps_per_epoch=len(train_loader))
+            self.modules, steps_per_epoch=len(train_loader),
+            grad_flow=grad_flow)
         self.predict = make_predict_fn(self.modules)
         self.saver = SaveBest("sup")
         self.early_stopping = (
@@ -177,6 +181,10 @@ class Trainer:
                                                    base_step + 1 + i)
         self.last_meters = meters   # exposed for tests/inspection
         avgs = meters.averages()
+        if self.grad_flow:
+            from bsed_tpu.utils.profiling import plot_grad_flow
+            plot_grad_flow(avgs, os.path.join(self.store_dir,
+                                              "gradient_flow.png"))
         self.log.info("Epoch %d: %d steps in %.1fs  %s", epoch, n_steps,
                       time.time() - start, meters)
         return avgs

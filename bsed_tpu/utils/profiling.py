@@ -53,3 +53,37 @@ class StepTimer:
                 "p90_s": float(np.percentile(a, 90)),
                 "max_s": float(a.max()),
                 "steps": len(a)}
+
+
+def plot_grad_flow(metrics: Dict[str, float], path: str) -> bool:
+    """Render the reference's gradient-flow diagnostic
+    (/root/reference/src/main_baseline.py:108-123): average |grad| per
+    non-bias parameter, bar-free line plot saved as a PNG. Consumes the
+    ``grad_abs/<param>`` entries that ``make_train_step(grad_flow=True)``
+    adds to its metrics dict. Returns False when matplotlib is absent."""
+    items = sorted((k[len("grad_abs/"):], float(v))
+                   for k, v in metrics.items() if k.startswith("grad_abs/"))
+    if not items:
+        return False
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    layers = [k for k, _ in items]
+    ave_grads = [v for _, v in items]
+    fig, ax = plt.subplots(figsize=(max(6, len(layers) * 0.3), 4))
+    ax.plot(ave_grads, alpha=0.3, color="b")
+    ax.hlines(0, 0, len(ave_grads) + 1, linewidth=1, color="k")
+    ax.set_xticks(range(len(layers)))
+    ax.set_xticklabels(layers, rotation="vertical", fontsize=5)
+    ax.set_xlim(0, len(ave_grads))
+    ax.set_xlabel("Layers")
+    ax.set_ylabel("average gradient")
+    ax.set_title("Gradient flow")
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return True

@@ -289,3 +289,51 @@ def test_pretrained_resnet18_skips_rebuilt_layers():
     np.testing.assert_allclose(
         np.asarray(trainer.params["layer3_block0"]["conv1"]["kernel"]),
         w.transpose(2, 3, 1, 0), atol=0)
+
+
+def test_grad_flow_metrics_and_plot(tmp_path):
+    """make_train_step(grad_flow=True) emits per-parameter mean-|grad|
+    metrics (plot_grad_flow parity, main_baseline.py:108-123) and the
+    profiling helper renders the PNG."""
+    import jax.numpy as jnp
+
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+    from bsed_tpu.utils.profiling import plot_grad_flow
+    from tests.test_train_step import make_batch
+
+    cfg = small_cfg()
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    step = make_train_step(modules, grad_flow=True)
+    _, metrics = step(state, make_batch(cfg), jax.random.key(1),
+                      jnp.asarray(0.0))
+    grad_keys = [k for k in metrics if k.startswith("grad_abs/")]
+    assert grad_keys, "no grad_abs metrics emitted"
+    assert all("bias" not in k for k in grad_keys)
+    assert any("encoder" in k for k in grad_keys)
+    assert any("predictor" in k for k in grad_keys)
+    assert all(np.isfinite(float(metrics[k])) for k in grad_keys)
+    out = str(tmp_path / "gradient_flow.png")
+    wrote = plot_grad_flow({k: float(v) for k, v in metrics.items()}, out)
+    assert wrote and os.path.getsize(out) > 0
+
+
+def test_mix_audio_files(tmp_path):
+    """Equal-weight wav mixer (dataset/SYN_test/generated_mix/mix.py)."""
+    from scipy.io import wavfile
+
+    from bsed_tpu.data.analysis import mix_audio_files
+
+    sr = 32000
+    a = (np.sin(np.linspace(0, 100, sr)) * 0.5).astype(np.float32)
+    b = np.ones(sr // 2, dtype=np.float32) * 0.25
+    pa, pb = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    wavfile.write(pa, sr, a)
+    wavfile.write(pb, sr, b)
+    out = mix_audio_files([pa, pb], str(tmp_path / "mix.wav"), sr=sr)
+    got_sr, mix = wavfile.read(out)
+    assert got_sr == sr and len(mix) == sr
+    np.testing.assert_allclose(mix[:sr // 2], 0.5 * (a[:sr // 2] + b),
+                               atol=1e-5)
+    np.testing.assert_allclose(mix[sr // 2:], 0.5 * a[sr // 2:], atol=1e-5)
