@@ -417,8 +417,27 @@ def cmd_predict(args):
 
     cfg = _apply_flags(_resolve_config(args), args)
     modules, params, stats = _load_eval_params(cfg, args)
-    forward = jax.jit(make_fast_forward(cfg, modules, params, stats,
-                                        precision=args.precision))
+    # multi-chip host: serve data-parallel over the largest mesh dividing
+    # the window batch (zero collectives — clips are independent); single
+    # chip: the plain fused program
+    from bsed_tpu.parallel.mesh import auto_data_mesh, shard_batch
+    mesh = auto_data_mesh(args.batch_size)
+    if mesh is None:
+        forward = jax.jit(make_fast_forward(cfg, modules, params, stats,
+                                            precision=args.precision))
+    else:
+        from bsed_tpu.serve import make_sharded_forward
+        inner = make_sharded_forward(cfg, modules, params, stats, mesh,
+                                     precision=args.precision)
+        bs = args.batch_size
+
+        def forward(chunk):
+            b = chunk.shape[0]
+            if b != bs:   # static shapes: pad ragged tails to the batch
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], bs - b, 0)])
+            strong, weak = inner(shard_batch(mesh, chunk))
+            return strong[:b], weak[:b]
 
     sec_per_frame = (cfg.model.pooling_time_ratio
                      / (cfg.audio.sr / cfg.audio.hop_size))

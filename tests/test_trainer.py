@@ -182,3 +182,4 @@ def test_eval_loader_fast_path_matches_per_item(tmp_path):
         assert fv == sv and fn_ == sn
         np.testing.assert_array_equal(np.asarray(fm), sm)
         np.testing.assert_array_equal(np.asarray(ft), st)
+
