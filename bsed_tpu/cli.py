@@ -25,20 +25,23 @@ import os
 import sys
 
 
-def _resolve_config(args):
+def _resolve_config(args, allow_store: bool = True):
     """Config resolution order (checkpoint-self-describing eval,
     TestModel.py:34-120 semantics):
       1. an explicit --preset always wins;
-      2. else, a --store-dir whose meta.json carries the full saved config
-         rebuilds the training-time Config exactly (incl. audio geometry
-         and model topology) — no flags needed;
-      3. else, the default preset."""
+      2. else, when ``allow_store``, a --store-dir whose meta.json carries
+         the full saved config rebuilds the training-time Config exactly
+         (incl. audio geometry and model topology) — no flags needed;
+      3. else, the default preset.
+    ``cmd_train`` passes allow_store only when RESUMING: a fresh train into
+    a reused store-dir must not silently inherit the previous run's
+    experiment config from its stale meta.json."""
     from bsed_tpu.config import config_from_dict, get_config
 
     if getattr(args, "preset", None):
         return get_config(args.preset)
     store = getattr(args, "store_dir", None)
-    if store:
+    if store and allow_store:
         meta_path = os.path.join(store, "model", "meta.json")
         if os.path.exists(meta_path):
             import json
@@ -138,7 +141,8 @@ def _dataset_loaders(cfg, args):
 def cmd_train(args):
     from bsed_tpu.train.trainer import Trainer
 
-    cfg = _apply_flags(_resolve_config(args), args)
+    cfg = _apply_flags(
+        _resolve_config(args, allow_store=args.start_epoch > 0), args)
     train_loader, val_loader, syn_eval = _dataset_loaders(cfg, args)
     trainer = Trainer(cfg, train_loader, val_loader=val_loader,
                       syn_eval_loader=syn_eval if args.eval_syn else None,

@@ -115,16 +115,13 @@ def mix_audio_files(paths: Sequence[str], out_path: str,
     review-mix tool (/root/reference/dataset/SYN_test/generated_mix/mix.py:
     load N wavs at 32 kHz, average, write). Shorter inputs are zero-padded
     to the longest."""
-    import numpy as np
-
-    import numpy as _np
     from scipy.io import wavfile
 
     from bsed_tpu.utils.audio import read_audio
 
     audios = [read_audio(p, sr)[0] for p in paths]
     n = max(len(a) for a in audios)
-    mix = _np.zeros(n, dtype=_np.float32)
+    mix = np.zeros(n, dtype=np.float32)
     for a in audios:
         mix[:len(a)] += a
     mix /= len(audios)

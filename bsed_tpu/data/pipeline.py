@@ -92,6 +92,31 @@ class ThreeStreamLoader:
             self._dev_arrays[key] = tuple(jnp.asarray(a) for a in arrays)
         return self._dev_arrays[key]
 
+    def _assemble_real(self, weak_arr, unlab_arr, w_ids, u_ids):
+        """Real-stream-only gather/reduce/concat as one program — the
+        fallback when the SYN dataset lacks ``as_arrays`` but the real
+        streams have it (jitted once per loader on the device path)."""
+        wt_rank = weak_arr[1].ndim
+        ut_rank = unlab_arr[1].ndim
+
+        def asm(wf, wt, uf, ut, wi, ui):
+            real = _cat(wf[wi], uf[ui])
+            w_weak = wt[wi]
+            u_weak = ut[ui]
+            w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
+            u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
+            out = {"real": real, "real_weak": _cat(w_red, u_red)}
+            if wt_rank == 3 and ut_rank == 3:
+                out["real_strong"] = _cat(w_weak, u_weak)
+            return out
+
+        if isinstance(weak_arr[0], np.ndarray):
+            return asm(*weak_arr, *unlab_arr, w_ids, u_ids)
+        if not hasattr(self, "_assemble_real_jit"):
+            import jax
+            self._assemble_real_jit = jax.jit(asm)
+        return self._assemble_real_jit(*weak_arr, *unlab_arr, w_ids, u_ids)
+
     def _assemble_batch(self, syn_arr, weak_arr, unlab_arr, s_ids, w_ids,
                         u_ids):
         """The ENTIRE batch — syn gather + real-stream gather/reduce/concat
@@ -182,6 +207,15 @@ class ThreeStreamLoader:
             if weak_stream is not None and unlab_stream is not None:
                 w_ids = next(weak_stream)
                 u_ids = next(unlab_stream)
+                if weak_arr is not None and unlab_arr is not None:
+                    # syn lacks as_arrays but the real streams have them:
+                    # keep their gather/reduce/concat as one (jitted on
+                    # device) program
+                    batch.update(self._assemble_real(
+                        weak_arr, unlab_arr, np.asarray(w_ids),
+                        np.asarray(u_ids)))
+                    yield batch
+                    continue
                 weak_items = [self.weak[i] for i in w_ids]
                 unlab_items = [self.unlab[i] for i in u_ids]
                 batch["real"] = np.stack(

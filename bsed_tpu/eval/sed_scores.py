@@ -104,26 +104,16 @@ def event_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,
 
 def _max_bipartite_tp(hits: np.ndarray) -> int:
     """Maximum one-to-one matching size over the (n_ref, n_est) hit matrix
-    via augmenting paths — sed_eval's collision resolution (its
-    ``_bipartite_match``); greedy matching is NOT equivalent (see module
-    docstring)."""
-    n_ref, n_est = hits.shape
-    est_to_ref = np.full(n_est, -1)
+    — sed_eval's collision resolution (its ``_bipartite_match``); greedy
+    matching is NOT equivalent (see module docstring). Delegates to
+    scipy's Hopcroft–Karp (C, no recursion-depth limits on dense files)."""
+    if not hits.any():
+        return 0
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
 
-    def augment(j: int, visited: np.ndarray) -> bool:
-        for i in range(n_est):
-            if hits[j, i] and not visited[i]:
-                visited[i] = True
-                if est_to_ref[i] < 0 or augment(est_to_ref[i], visited):
-                    est_to_ref[i] = j
-                    return True
-        return False
-
-    tp = 0
-    for j in range(n_ref):
-        if augment(j, np.zeros(n_est, dtype=bool)):
-            tp += 1
-    return tp
+    perm = maximum_bipartite_matching(csr_matrix(hits), perm_type="column")
+    return int((perm != -1).sum())
 
 
 def segment_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,

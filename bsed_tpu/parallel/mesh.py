@@ -37,7 +37,10 @@ def auto_data_mesh(*batch_sizes: int,
     a 6-chip mesh (set batch_size to a multiple of the chip count to use
     every chip). Returns None when only one device would qualify."""
     devices = list(devices) if devices is not None else jax.devices()
-    sizes = [b for b in batch_sizes if b > 0]
+    # multi-process: the loaders are process-strided, so the GLOBAL batch
+    # axis is per-host batch × process_count — that is what must divide
+    scale = jax.process_count()
+    sizes = [b * scale for b in batch_sizes if b > 0]
     n = len(devices)
     while n > 1 and any(b % n for b in sizes):
         n -= 1
@@ -52,17 +55,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(tree: Any, sharding: NamedSharding) -> Any:
+    """device_put in single-process runs; in multi-process runs each host
+    contributes its process-local data to the global array
+    (``jax.make_array_from_process_local_data`` — plain device_put cannot
+    address other hosts' devices). For a replicated sharding every process
+    passes the full (identical) array; for a batch sharding each process
+    passes its own loader shard and the global batch is their union."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
     """Place every array in the batch pytree with axis 0 sharded over the
-    data axis (padding is the caller's job: static shapes, batch divisible
-    by mesh size)."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    data axis (padding is the caller's job: static shapes, global batch
+    divisible by mesh size)."""
+    return _place(batch, batch_sharding(mesh, axis_name))
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return _place(tree, replicated(mesh))
 
 
 def host_local_batch(global_batch_size: int) -> slice:

@@ -194,8 +194,10 @@ class TaggingTrainer:
         state = path_or_state
         if isinstance(state, (str, os.PathLike)):
             import torch
+            # a torchvision state_dict is a plain tensor mapping —
+            # weights_only=True suffices and refuses arbitrary pickles
             state = torch.load(state, map_location="cpu",
-                               weights_only=False)
+                               weights_only=True)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
         self.params, self.batch_stats, skipped = tc.convert_resnet18_tagger(

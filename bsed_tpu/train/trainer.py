@@ -252,11 +252,16 @@ class Trainer:
         n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epoch
         if self.use_tensorboard and self.writer is None:
             from tensorboardX import SummaryWriter
-            # purge_step: a resume overwrites the re-run epochs' scalars
-            # instead of duplicating them (main_baseline.py:656)
+            # purge on resume so re-run scalars overwrite instead of
+            # duplicating (the reference passes purge_step=start_epoch,
+            # main_baseline.py:656 — but its train scalars are STEP-indexed,
+            # so an epoch-unit purge wipes nearly all prior train curves;
+            # here the purge is in step units, matching how train_epoch
+            # indexes its scalars)
             self.writer = SummaryWriter(
                 os.path.join(self.store_dir, "log"),
-                purge_step=start_epoch if start_epoch > 0 else None)
+                purge_step=start_epoch * len(self.train_loader)
+                if start_epoch > 0 else None)
         if start_epoch > 0:
             self.resume(start_epoch)
         best = {}

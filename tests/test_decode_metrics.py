@@ -77,7 +77,7 @@ def test_event_f1_perfect_and_collar():
     assert np.isclose(event_based_f1(ref, est), 0.5)
 
 
-def test_event_f1_greedy_one_to_one():
+def test_event_f1_one_to_one():
     ref = pd.DataFrame({
         "event_label": ["EATO"], "onset": [1.0], "offset": [2.0],
         "filename": ["f1"],
@@ -391,3 +391,32 @@ def test_golden_segment_based_boundary():
     c = segment_based_counts(_df(ref), _df(est), time_resolution=1.0,
                              file_duration=10.0)["EATO"]
     assert (c.tp, c.n_ref, c.n_sys) == (2, 3, 2)
+
+
+def test_max_bipartite_matches_brute_force():
+    """Randomized cross-check of the maximum-matching TP counter against
+    exhaustive search on small hit matrices (and a large dense matrix as a
+    recursion-limit regression guard)."""
+    import itertools
+
+    from bsed_tpu.eval.sed_scores import _max_bipartite_tp
+
+    rng = np.random.default_rng(0)
+
+    def brute(hits):
+        n_ref, n_est = hits.shape
+        best = 0
+        cols = list(range(n_est))
+        for k in range(min(n_ref, n_est), 0, -1):
+            for rows in itertools.combinations(range(n_ref), k):
+                for perm in itertools.permutations(cols, k):
+                    if all(hits[r, c] for r, c in zip(rows, perm)):
+                        return k
+        return 0
+
+    for _ in range(40):
+        h = rng.random((rng.integers(1, 6), rng.integers(1, 6))) < 0.4
+        assert _max_bipartite_tp(h) == brute(h), h.astype(int)
+    # dense 1500x1500: must not blow any recursion limit
+    big = np.ones((1500, 1500), dtype=bool)
+    assert _max_bipartite_tp(big) == 1500

@@ -64,7 +64,10 @@ def test_tensorboard_resume_passes_purge_step(tmp_path, monkeypatch):
     assert captured == [None]            # fresh run: no purge
     trainer2 = make_trainer(tmp_path, use_tensorboard=True)
     trainer2.fit(n_epochs=2, start_epoch=1)
-    assert captured == [None, 1]         # resume at epoch 1 purges >= 1
+    # purge in STEP units (train scalars are step-indexed): re-run steps
+    # overwrite, earlier epochs' curves survive — deliberately diverging
+    # from the reference's epoch-unit purge_step which would wipe them
+    assert captured == [None, 1 * len(trainer2.train_loader)]
 
 
 def test_three_stream_loader_shapes():
@@ -183,3 +186,35 @@ def test_eval_loader_fast_path_matches_per_item(tmp_path):
         np.testing.assert_array_equal(np.asarray(fm), sm)
         np.testing.assert_array_equal(np.asarray(ft), st)
 
+
+
+def test_loader_arrayed_real_with_itemized_syn():
+    """SYN without as_arrays + arrayed weak/unlab: the real streams keep
+    the one-program assembly path and batches match the all-item path."""
+    cfg = get_config("baseline").replace(audio=SMALL_AUDIO)
+    syn = SyntheticDataSource(cfg, n_items=8, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=4, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=4, seed=3)
+
+    class NoArrays:
+        def __init__(self, inner):
+            self._i = inner
+
+        def __len__(self):
+            return len(self._i)
+
+        def __getitem__(self, i):
+            return self._i[i]
+
+    mixed = ThreeStreamLoader(NoArrays(syn), weak, unlab, batch_size=4,
+                              seed=3, shuffle=False)
+    all_items = ThreeStreamLoader(NoArrays(syn), NoArrays(weak),
+                                  NoArrays(unlab), batch_size=4, seed=3,
+                                  shuffle=False)
+    mb, ib = list(mixed.epoch(0)), list(all_items.epoch(0))
+    assert len(mb) == len(ib) == 2
+    for a, b in zip(mb, ib):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
