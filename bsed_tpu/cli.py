@@ -149,7 +149,8 @@ def cmd_train(args):
                       store_dir=args.store_dir,
                       use_tensorboard=args.tensorboard,
                       profile_dir=args.profile_dir,
-                      grad_flow=args.grad_flow)
+                      grad_flow=args.grad_flow,
+                      mesh=args.mesh)
     best = trainer.fit(n_epochs=args.epochs, start_epoch=args.start_epoch)
     print(best)
 
@@ -509,6 +510,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-parameter mean-|grad| metrics + "
                          "gradient_flow.png per epoch "
                          "(plot_grad_flow, main_baseline.py:108-123)")
+    sp.add_argument("--mesh", choices=("auto", "off"), default="auto",
+                    help="'auto' (default): on a multi-chip host train "
+                         "data-parallel over the largest batch-divisible "
+                         "device mesh; 'off': force single-device")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")
