@@ -1,0 +1,177 @@
+"""Folded-frequency stem: exact reparametrization of the early conv blocks
+with frequency bins packed into the channel (lane) dimension.
+
+Why: TPU HBM layouts tile the two minor dimensions as (8 sublanes, 128
+lanes). The CRNN stem's activations are NHWC with C = 1/16/32 on the lane
+dim (config.py nb_filters), so block-0/1/2 intermediates are padded up to
+128 lanes — an up-to-8x HBM traffic blowup on the largest tensors of the
+whole serving pipeline ((B, 1255, 128, 16) is the biggest activation the
+model produces). The reference never faces this: its torch/cuDNN NCHW path
+has no lane padding (/root/reference/src/models/CNN.py:43-67 runs the same
+stack on GPU).
+
+The fix is algebraic, not approximate. Pack ``f`` adjacent mel bins into
+channels — x[b,t,g*f+r,c] -> xf[b,t,g,r*C+c] — and rewrite each block:
+
+* conv3x3 (pad 1): a 3x3 conv over (T, group) whose folded kernel
+  (3, 3, f*cin, f*cout) embeds K[:, d+1, c, o] at input sub r_in =
+  (r_out+d) mod f of group tap 1 + floor((r_out+d)/f). The zero group
+  padding supplies exactly the original F-boundary zeros.
+* BatchNorm (eval): per-channel affine, folded into the conv kernel/bias
+  (stats tiled per sub-position).
+* GLU / ContextGating (CNN.py:5-30): the Dense mixes channels per
+  frequency, so folded it is a block-diagonal (f*C, f*C) matmul — a full
+  128-lane MXU op instead of a padded 16-lane one.
+* avg-pool (pt, pf): time pooling stays spatial; frequency pooling becomes
+  a (f*C, (f/pf)*C) averaging matmul, shrinking the fold.
+
+Fold factors for the default config (filters 16/32/64, pooling
+(2,2)/(2,2)/(1,2)): 8 -> 4 -> 2 -> 1, so every folded activation carries
+64-128 real channels on the lane dim and the layout padding disappears.
+After the last folded block the tensor unfolds back to (B, T', F', C') and
+the remaining blocks run unchanged. Equality with the standard flax stack
+is pinned by tests/test_folded_stem.py.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fold_conv_kernel(kernel: np.ndarray, f: int) -> np.ndarray:
+    """(kt, 3, cin, cout) 3-tap-frequency kernel -> (kt, 3, f*cin, f*cout)
+    group-axis kernel computing the identical map on the folded layout."""
+    kt, kf, cin, cout = kernel.shape
+    if kf != 3:
+        raise ValueError("folded stem supports 3-tap frequency kernels")
+    out = np.zeros((kt, 3, f * cin, f * cout), kernel.dtype)
+    for r_out in range(f):
+        for d in (-1, 0, 1):
+            s = r_out + d                       # input sub-position
+            g = (s // f) + 1                    # group tap 0/1/2
+            r_in = s % f
+            out[:, g, r_in * cin:(r_in + 1) * cin,
+                r_out * cout:(r_out + 1) * cout] = kernel[:, d + 1]
+    return out
+
+
+def _block_diag(mat: np.ndarray, f: int) -> np.ndarray:
+    """(C, C') dense -> (f*C, f*C') block-diagonal (per sub-position)."""
+    c_in, c_out = mat.shape
+    out = np.zeros((f * c_in, f * c_out), mat.dtype)
+    for r in range(f):
+        out[r * c_in:(r + 1) * c_in, r * c_out:(r + 1) * c_out] = mat
+    return out
+
+
+def _freq_pool_matrix(f: int, pf: int, c: int) -> np.ndarray:
+    """((f*C), (f/pf)*C) matrix averaging pf adjacent sub-positions."""
+    out = np.zeros((f * c, (f // pf) * c), np.float32)
+    for r in range(f):
+        q = r // pf
+        for ch in range(c):
+            out[r * c + ch, q * c + ch] = 1.0 / pf
+    return out
+
+
+def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
+                      nb_filters: Sequence[int],
+                      pooling: Sequence[Tuple[int, int]],
+                      activation: str = "glu",
+                      n_mels: int = 128, fold0: int = 8,
+                      bn_eps: float = 1e-3,
+                      dtype=None) -> Tuple[Callable, int]:
+    """Derive folded parameters for the leading blocks and return
+    ``(stem(mel (B,T,F,1)) -> (B,T',F',C'), n_blocks_folded)``.
+
+    Folds blocks while the running fold factor exceeds 1 (each block's
+    frequency pooling divides it down); ``fold0=8`` covers blocks 0-2 of
+    the default config. BatchNorm runs in eval mode (running stats), so the
+    result is serving-only; dropout is the eval identity.
+    """
+    if activation not in ("glu", "cg", "relu", "leakyrelu"):
+        raise ValueError(f"unsupported activation {activation}")
+
+    blocks: List[Dict] = []
+    f = fold0
+    cin = 1
+    for i, (cout, (pt, pf)) in enumerate(zip(nb_filters, pooling)):
+        if f == 1:
+            break
+        if f % pf != 0:
+            raise ValueError(f"block{i}: pool {pf} does not divide fold {f}")
+        p = cnn_params[f"block{i}"]
+        s = cnn_stats[f"block{i}"]
+        kernel = np.asarray(p["conv"]["kernel"], np.float32)
+        bias = np.asarray(p["conv"]["bias"], np.float32)
+        # eval-mode BN folded into the conv: y*scale + shift
+        scale = (np.asarray(p["bn"]["scale"], np.float32)
+                 / np.sqrt(np.asarray(s["bn"]["var"], np.float32) + bn_eps))
+        shift = (np.asarray(p["bn"]["bias"], np.float32)
+                 - np.asarray(s["bn"]["mean"], np.float32) * scale)
+        kernel = kernel * scale[None, None, None, :]
+        bias = bias * scale + shift
+
+        blk = {
+            "kernel": jnp.asarray(fold_conv_kernel(kernel, f)),
+            "bias": jnp.asarray(np.tile(bias, f)),
+            "pt": pt,
+        }
+        if activation in ("glu", "cg"):
+            act_key = "GLU_0" if activation == "glu" else "ContextGating_0"
+            w = np.asarray(p[act_key]["linear"]["kernel"], np.float32)
+            b = np.asarray(p[act_key]["linear"]["bias"], np.float32)
+            blk["act_w"] = jnp.asarray(_block_diag(w, f))
+            blk["act_b"] = jnp.asarray(np.tile(b, f))
+        if pf > 1:
+            blk["pool_w"] = jnp.asarray(_freq_pool_matrix(f, pf, cout))
+        blocks.append(blk)
+        f //= pf
+        cin = cout
+
+    n_folded = len(blocks)
+    f_rem = f
+    c_last = nb_filters[n_folded - 1]
+
+    def stem(mel: jnp.ndarray) -> jnp.ndarray:
+        b, t, n_f, _ = mel.shape
+        x = mel.reshape(b, t, n_f // fold0, fold0)
+        if dtype is not None:
+            x = x.astype(dtype)
+        for blk in blocks:
+            k = blk["kernel"]
+            if dtype is not None:
+                k = k.astype(dtype)
+            x = jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = x + blk["bias"].astype(x.dtype)
+            if activation == "glu":
+                lin = x @ blk["act_w"].astype(x.dtype) \
+                    + blk["act_b"].astype(x.dtype)
+                x = lin * jax.nn.sigmoid(x)
+            elif activation == "cg":
+                lin = x @ blk["act_w"].astype(x.dtype) \
+                    + blk["act_b"].astype(x.dtype)
+                x = x * jax.nn.sigmoid(lin)
+            elif activation == "relu":
+                x = jax.nn.relu(x)
+            else:
+                x = jax.nn.leaky_relu(x, negative_slope=0.2)
+            if blk["pt"] > 1:
+                x = jax.lax.reduce_window(
+                    x, jnp.zeros((), x.dtype), jax.lax.add,
+                    (1, blk["pt"], 1, 1), (1, blk["pt"], 1, 1),
+                    "VALID") / jnp.asarray(blk["pt"], x.dtype)
+            if "pool_w" in blk:
+                x = x @ blk["pool_w"].astype(x.dtype)
+        # unfold (B, T', G, f_rem*C) -> (B, T', G*f_rem, C)
+        b2, t2, g, _ = x.shape
+        x = x.reshape(b2, t2, g, f_rem, c_last).reshape(
+            b2, t2, g * f_rem, c_last)
+        return x
+
+    return stem, n_folded

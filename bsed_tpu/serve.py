@@ -22,23 +22,26 @@ from bsed_tpu.train.steps import TrainModules
 
 
 class _RestCNN(nn.Module):
-    """Blocks 1..N-1 of the CNN stack (block0 is served by the fused
-    kernel)."""
+    """Blocks ``start``..N-1 of the CNN stack (the leading blocks are served
+    by a fused/folded stem)."""
     cfg: Config
+    start: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         m = self.cfg.model
-        for i in range(1, len(m.nb_filters)):
+        for i in range(self.start, len(m.nb_filters)):
             x = ConvBlock(m.nb_filters[i], tuple(m.pooling[i]),
                           m.activation, m.dropout, m.kernel_size,
-                          name=f"block{i}")(x, train=False)
-        return x
+                          dtype=self.dtype, name=f"block{i}")(x, train=False)
+        return x.astype(jnp.float32)
 
 
 def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
                       batch_stats: Dict, use_fused_stem: bool = False,
                       stem_impl: str = "pallas",
+                      use_folded_stem: bool = False,
                       precision: str = "highest") -> Callable:
     """Returns jittable ``forward(audio) -> (strong, weak)`` on raw audio.
 
@@ -61,9 +64,47 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
     if "predictor" in batch_stats:
         pred_vars["batch_stats"] = batch_stats["predictor"]
 
-    fused = (use_fused_stem and not cfg.model.use_fpn
+    folded = (use_folded_stem and not cfg.model.use_fpn
+              and cfg.model.kernel_size == 3
+              and cfg.model.activation in ("glu", "cg", "relu", "leakyrelu")
+              and cfg.audio.n_mels % 8 == 0
+              and cfg.model.predictor_head != "crnn")
+    fused = (use_fused_stem and not folded and not cfg.model.use_fpn
              and cfg.model.activation == "glu"
              and cfg.audio.n_mels == 128)
+    if folded:
+        # Folded-frequency stem (ops/folded_stem.py): blocks 0..k-1 run with
+        # mel bins packed into the lane dim — same math, no small-channel
+        # layout padding. Exactness pinned by tests/test_folded_stem.py.
+        from bsed_tpu.models.rnn import BidirectionalGRU
+        from bsed_tpu.ops.folded_stem import build_folded_stem
+
+        m = cfg.model
+        dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
+        stem, n_folded = build_folded_stem(
+            enc_params["cnn"], enc_stats["cnn"], m.nb_filters,
+            tuple(tuple(p) for p in m.pooling), activation=m.activation,
+            n_mels=cfg.audio.n_mels, dtype=dtype)
+        rest = _RestCNN(cfg, start=n_folded, dtype=dtype)
+        rest_params = {k: v for k, v in enc_params["cnn"].items()
+                       if int(k.replace("block", "")) >= n_folded}
+        rest_stats = {k: v for k, v in enc_stats["cnn"].items()
+                      if int(k.replace("block", "")) >= n_folded}
+        rnn = BidirectionalGRU(m.n_rnn_cell, m.n_layers_rnn,
+                               m.dropout_recurrent, dtype=dtype)
+
+        def forward(audio):
+            mel = fe._forward(audio, log=True)[..., None]
+            h = stem(mel)
+            h = rest.apply({"params": rest_params,
+                            "batch_stats": rest_stats}, h)
+            h = jnp.squeeze(h, axis=2)
+            h = rnn.apply({"params": enc_params["rnn"]}, h)
+            strong, weak = modules.predictor.apply(pred_vars, h,
+                                                   train=False)
+            return strong, weak
+
+        return forward
     if fused:
         stem_fn = (fused_stem_block if stem_impl == "pallas"
                    else reference_stem_block)

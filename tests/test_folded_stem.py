@@ -1,0 +1,116 @@
+"""Exactness of the folded-frequency stem (ops/folded_stem.py) against the
+standard flax conv stack — same params, eval mode, every supported
+activation. The folding is pure algebra (lane-layout change), so agreement
+must be float-roundoff tight."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bsed_tpu.models.cnn import CNN
+from bsed_tpu.ops.folded_stem import build_folded_stem, fold_conv_kernel
+
+FILTERS = (16, 32, 64, 128, 128, 128, 128)
+POOLING = ((2, 2), (2, 2), (1, 2), (1, 2), (1, 2), (1, 2), (1, 2))
+
+
+def _init_cnn(activation="glu", seed=0, t=64):
+    cnn = CNN(FILTERS, POOLING, activation, dropout=0.5)
+    x = jnp.zeros((2, t, 128, 1))
+    variables = cnn.init(jax.random.key(seed), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    # make BN affine + running stats non-trivial so folding is actually
+    # exercised (fresh init has mean 0 / var 1)
+    rng = np.random.default_rng(seed + 1)
+    stats = jax.tree.map(
+        lambda v: jnp.asarray(
+            rng.normal(0.1, 0.3, v.shape).astype(np.float32) ** 2 + 0.5),
+        stats)
+    params = jax.tree.map(
+        lambda v: v + jnp.asarray(
+            rng.normal(0, 0.05, v.shape).astype(np.float32)),
+        params)
+    return cnn, params, stats
+
+
+def test_fold_conv_kernel_identity_at_fold_1():
+    k = np.random.default_rng(0).normal(size=(3, 3, 5, 7)).astype(np.float32)
+    kf = fold_conv_kernel(k, 1)
+    np.testing.assert_array_equal(kf, k)
+
+
+@pytest.mark.parametrize("activation", ["glu", "cg", "relu", "leakyrelu"])
+def test_folded_stem_matches_standard_cnn(activation):
+    cnn, params, stats = _init_cnn(activation)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.normal(size=(2, 64, 128, 1)).astype(np.float32))
+
+    ref = cnn.apply({"params": params, "batch_stats": stats}, mel,
+                    train=False)
+
+    stem, n_folded = build_folded_stem(params, stats, FILTERS, POOLING,
+                                       activation=activation)
+    assert n_folded == 3            # fold 8 -> 4 -> 2 -> 1 over blocks 0-2
+    h = stem(mel)
+    assert h.shape == (2, 16, 16, 64)   # (B, T/4, F/8, C2)
+
+    # run the remaining blocks 3..6 on the unfolded tensor
+    from bsed_tpu.models.layers import ConvBlock
+    for i in range(n_folded, len(FILTERS)):
+        blk = ConvBlock(FILTERS[i], POOLING[i], activation, 0.5,
+                        name=f"block{i}")
+        h = blk.apply({"params": params[f"block{i}"],
+                       "batch_stats": stats[f"block{i}"]}, h, train=False)
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=2e-4)
+
+
+def test_folded_stem_bf16_close_to_bf16_standard():
+    """The serving configuration: both paths in bfloat16 must agree to
+    bf16 resolution (the folded path is the same math, reordered)."""
+    cnn, params, stats = _init_cnn("glu")
+    cnn16 = CNN(FILTERS, POOLING, "glu", dropout=0.5, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(2, 64, 128, 1)).astype(np.float32))
+
+    ref = cnn16.apply({"params": params, "batch_stats": stats}, mel,
+                      train=False)
+    stem, n_folded = build_folded_stem(params, stats, FILTERS, POOLING,
+                                       dtype=jnp.bfloat16)
+    h = stem(mel)
+    from bsed_tpu.models.layers import ConvBlock
+    for i in range(n_folded, len(FILTERS)):
+        blk = ConvBlock(FILTERS[i], POOLING[i], "glu", 0.5,
+                        dtype=jnp.bfloat16, name=f"block{i}")
+        h = blk.apply({"params": params[f"block{i}"],
+                       "batch_stats": stats[f"block{i}"]}, h, train=False)
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=0.15)
+
+
+def test_folded_serving_forward_matches_standard():
+    """make_fast_forward(use_folded_stem=True) must produce the same
+    posteriors as the standard serving path (f32, CPU)."""
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.serve import make_fast_forward
+    from bsed_tpu.train.steps import build_modules, create_train_state
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+
+    std = jax.jit(make_fast_forward(cfg, modules, state.params,
+                                    state.batch_stats))
+    fold = jax.jit(make_fast_forward(cfg, modules, state.params,
+                                     state.batch_stats,
+                                     use_folded_stem=True))
+    rng = np.random.default_rng(11)
+    audio = jnp.asarray(
+        rng.standard_normal((3, cfg.audio.n_samples)).astype(np.float32))
+    s0, w0 = std(audio)
+    s1, w1 = fold(audio)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-5)
