@@ -41,8 +41,9 @@ class _RestCNN(nn.Module):
 def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
                       batch_stats: Dict, use_fused_stem: bool = False,
                       stem_impl: str = "pallas",
-                      use_folded_stem: bool = False,
-                      precision: str = "highest") -> Callable:
+                      use_folded_stem: Optional[bool] = None,
+                      precision: str = "highest",
+                      mel_algorithm: Optional[str] = None) -> Callable:
     """Returns jittable ``forward(audio) -> (strong, weak)`` on raw audio.
 
     ``use_fused_stem`` selects the algebraically-folded conv+BN+GLU+pool
@@ -55,7 +56,24 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
     the specialization; other encoders use the standard apply."""
     from bsed_tpu.ops.stem_kernel import reference_stem_block
 
-    fe = MelFrontEnd(cfg.audio, precision=precision)
+    if mel_algorithm is None:
+        # Auto front end: the fused single-pallas-kernel block STFT
+        # (ops/mel_kernel.py — hop-block DFT + 9-tap stencil + |·| + mel,
+        # all VMEM-resident) measures 17.7 ms/batch-64 at 'high' vs the
+        # dense DFT's 22.3 ms on v5e ('fast': 12.8 vs 15.4) and sits inside
+        # the same ≤1e-3 dB golden gate. Its 3-product split IS
+        # Precision.HIGH arithmetic, so 'highest' keeps the dense path; off
+        # TPU the kernel would run in interpret mode, so keep dense there.
+        a = cfg.audio
+        mel_algorithm = (
+            "block_pallas"
+            if (precision in ("high", "fast")
+                and jax.default_backend() == "tpu"
+                and a.n_window // a.hop_size == 8
+                and a.hop_size <= 256)
+            else "dense")
+    fe = MelFrontEnd(cfg.audio, precision=precision,
+                     algorithm=mel_algorithm)
     enc_params = params["encoder"]
     enc_stats = batch_stats["encoder"]
     # the CRNN_pred conv head carries BatchNorm (predictor_head="crnn") —
@@ -64,7 +82,12 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
     if "predictor" in batch_stats:
         pred_vars["batch_stats"] = batch_stats["predictor"]
 
-    folded = (use_folded_stem and not cfg.model.use_fpn
+    # Folded-frequency stem is the DEFAULT for eligible topologies
+    # (use_folded_stem=None → auto): measured 36.7 → 31.6 ms at B=64/'high'
+    # on v5e (1745 → 2026 clips/s) with BIT-IDENTICAL bf16 posteriors
+    # (max |Δ| = 0.0); the f32 path agrees to ≤1e-5 (test_folded_stem.py).
+    folded = (use_folded_stem is not False and not use_fused_stem
+              and not cfg.model.use_fpn
               and cfg.model.kernel_size == 3
               and cfg.model.activation in ("glu", "cg", "relu", "leakyrelu")
               and cfg.audio.n_mels % 8 == 0

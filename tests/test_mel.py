@@ -169,3 +169,72 @@ def test_front_end_end_to_end_shapes_and_mel_parity():
     # dB tolerance 1e-3 is the north-star gate; allow slack for fp32 FFT
     assert np.abs(logmel[0] - ref_db).mean() < 1e-3
     assert np.max(np.abs(logmel[0] - ref_db)) < 5e-2
+
+
+def test_block_stft_matches_dense_and_golden():
+    """The overlap-reusing block STFT (ops/mel.py block_stft_magnitude:
+    3 separable-Hamming hop-block transforms + 9-tap k-dependent complex
+    stencil + remainder matmul) must reproduce the dense windowed-DFT
+    path and the float64 torch reference."""
+    cfg = AudioConfig()
+    rng = np.random.default_rng(9)
+    audio = rng.standard_normal((2, 32000)).astype(np.float32) * 0.1
+
+    dense = np.asarray(MelFrontEnd(cfg, algorithm="dense")(audio, log=True))
+    blk = np.asarray(MelFrontEnd(cfg, algorithm="block")(audio, log=True))
+    assert np.max(np.abs(dense - blk)) < 1e-3  # dB
+
+    mag = _torch_stft_mag(audio[0])
+    fb = mel_filterbank(cfg.sr, cfg.n_window, cfg.n_mels,
+                        cfg.mel_f_min, cfg.mel_f_max, dtype=np.float64)
+    ref_db = 10 * np.log10(np.maximum(1e-10, (mag @ fb) ** 2))
+    ref_db = np.maximum(ref_db, ref_db.max() - 80)
+    assert np.max(np.abs(blk[0] - ref_db)) < 5e-2
+    assert np.abs(blk[0] - ref_db).mean() < 1e-3
+
+
+def test_block_stft_hamming_separability_is_exact():
+    """The rank-3 u/v decomposition must rebuild np.hamming exactly —
+    the identity the whole block DFT rests on."""
+    from bsed_tpu.ops.mel import block_dft_bases
+    n, h = 2048, 255
+    w = np.hamming(n)
+    j = np.arange(n // h)
+    r = np.arange(h)
+    u = np.stack([np.full_like(j, 0.54, dtype=np.float64),
+                  -0.46 * np.cos(2 * np.pi * j * h / (n - 1)),
+                  0.46 * np.sin(2 * np.pi * j * h / (n - 1))])
+    v = np.stack([np.ones(h), np.cos(2 * np.pi * r / (n - 1)),
+                  np.sin(2 * np.pi * r / (n - 1))])
+    rebuilt = np.einsum("pj,pr->jr", u, v).reshape(-1)
+    np.testing.assert_allclose(rebuilt, w[:len(rebuilt)], atol=1e-12)
+    # and the tail basis covers the remaining samples
+    e_basis, d_re, d_im, e_tail = block_dft_bases(n, h)
+    assert e_tail is not None and e_tail.shape[0] == n - h * (n // h)
+
+
+def test_fused_block_mel_kernel_matches_dense():
+    """The single-pallas-kernel front end (ops/mel_kernel.fused_block_mel:
+    hop-block DFT + stencil + |·| + mel projection, all VMEM-resident) must
+    match the dense windowed-DFT path. The kernel's 3-product bf16 split is
+    Precision.HIGH arithmetic, so compare against dense at 'high' and gate
+    at the same ≤1e-3 dB the serving tier is held to (interpret mode off
+    TPU exercises identical arithmetic)."""
+    cfg = AudioConfig()
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal((2, 32000)).astype(np.float32) * 0.1
+
+    dense = np.asarray(
+        MelFrontEnd(cfg, algorithm="dense", precision="highest")(
+            audio, log=True))
+    fused = np.asarray(
+        MelFrontEnd(cfg, algorithm="block_pallas", precision="high")(
+            audio, log=True))
+    assert fused.shape == dense.shape
+    assert np.max(np.abs(dense - fused)) < 1e-3  # dB
+
+    # the fast tier must still be sane (single bf16 MXU product)
+    fast = np.asarray(
+        MelFrontEnd(cfg, algorithm="block_pallas", precision="fast")(
+            audio, log=True))
+    assert np.max(np.abs(dense - fast)) < 0.5  # dB
