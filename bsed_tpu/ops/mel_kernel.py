@@ -21,7 +21,8 @@ where x_m are NON-overlapping hop blocks and s_t the 8 remainder samples.
 Per (batch, time-tile) grid step the kernel:
   1. DMAs the (TILE+16, 256) block window HBM → VMEM;
   2. computes Y = blocks @ E for all 3 complex bases in ONE MXU matmul
-     (bases packed [p0re|p0im|...] at 1152-aligned lane offsets);
+     (bases packed [p0re|p0im|...] at 128-aligned lane offsets sized to
+     the filterbank's live support — 1024 lanes for the parity config);
   3. accumulates the 8-tap k-dependent complex stencil plus the remainder
      term with VPU fmas on 128-lane-aligned plane chunks;
   4. takes |X| and projects through the (padded) Slaney mel filterbank.
@@ -46,20 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bsed_tpu.ops.mel import block_dft_bases, num_frames
 
-LANE_PAD = 1152          # 1025 freq bins padded to 9×128 lanes
 TILE_T = 64              # output frames per grid step
 _J = 8                   # full-block stencil taps (N // H)
 
 
 class MelKernelBases(NamedTuple):
-    e_hi: jnp.ndarray       # (256, 6·LANE_PAD) bf16  stage-1 basis (hi)
-    e_lo: jnp.ndarray       # (256, 6·LANE_PAD) bf16  stage-1 basis (lo)
-    d_re: jnp.ndarray       # (8, 6·LANE_PAD) f32     stencil coeffs (re out)
-    d_im: jnp.ndarray       # (8, 6·LANE_PAD) f32     stencil coeffs (im out)
-    e8_hi: jnp.ndarray      # (8, 2·LANE_PAD) bf16    remainder basis (hi)
-    e8_lo: jnp.ndarray      # (8, 2·LANE_PAD) bf16    remainder basis (lo)
-    fb_hi: jnp.ndarray      # (LANE_PAD, 128) bf16    mel filterbank (hi)
-    fb_lo: jnp.ndarray      # (LANE_PAD, 128) bf16    mel filterbank (lo)
+    """lane_pad = filterbank live support rounded up to 128 lanes."""
+    e_hi: jnp.ndarray       # (256, 6·lane_pad) bf16  stage-1 basis (hi)
+    e_lo: jnp.ndarray       # (256, 6·lane_pad) bf16  stage-1 basis (lo)
+    d_re: jnp.ndarray       # (8, 6·lane_pad) f32     stencil coeffs (re out)
+    d_im: jnp.ndarray       # (8, 6·lane_pad) f32     stencil coeffs (im out)
+    e8_hi: jnp.ndarray      # (8, 2·lane_pad) bf16    remainder basis (hi)
+    e8_lo: jnp.ndarray      # (8, 2·lane_pad) bf16    remainder basis (lo)
+    fb_hi: jnp.ndarray      # (lane_pad, n_mels) bf16 mel filterbank (hi)
+    fb_lo: jnp.ndarray      # (lane_pad, n_mels) bf16 mel filterbank (lo)
 
 
 def _split(a: np.ndarray):
@@ -70,31 +71,41 @@ def _split(a: np.ndarray):
 
 def build_mel_kernel_bases(n_window: int, hop_size: int,
                            mel_fb: np.ndarray) -> MelKernelBases:
-    """Pack block_dft_bases + filterbank into the kernel's padded layouts."""
+    """Pack block_dft_bases + filterbank into the kernel's padded layouts.
+
+    Only frequency bins the filterbank actually reads are computed: for the
+    parity config (N=2048, f_max=Nyquist) the Slaney triangles end BEFORE
+    the Nyquist bin (fb[1024] ≡ 0), so the live support is exactly
+    1024 = 8×128 lanes — dropping the pad-to-1152 saves ~11% of every MXU
+    and VPU op in the kernel with bitwise-identical mel output."""
     if n_window // hop_size != _J:
         raise ValueError("mel kernel is specialized to N//H == 8")
     e_basis, d_re, d_im, e_tail = block_dft_bases(n_window, hop_size,
                                                   dtype=np.float64)
-    nf = e_basis.shape[-1]
+    nf_full = e_basis.shape[-1]
+    used = np.nonzero(np.abs(mel_fb).sum(axis=1))[0]
+    nf = int(used[-1]) + 1 if used.size else nf_full
+    lane_pad = -(-nf // 128) * 128
+    nf = min(nf_full, lane_pad)      # keep any real bins inside the pad
     rem = n_window - _J * hop_size
 
-    e = np.zeros((hop_size + 1, 6 * LANE_PAD))       # row 255 stays zero
-    dr = np.zeros((_J, 6 * LANE_PAD), np.float32)
-    di = np.zeros((_J, 6 * LANE_PAD), np.float32)
+    e = np.zeros((hop_size + 1, 6 * lane_pad))       # row 255 stays zero
+    dr = np.zeros((_J, 6 * lane_pad), np.float32)
+    di = np.zeros((_J, 6 * lane_pad), np.float32)
     for p in range(3):
         for c in range(2):
-            s = (2 * p + c) * LANE_PAD
-            e[:hop_size, s:s + nf] = e_basis[:, p, c]
-            dr[:, s:s + nf] = d_re[:, p, c]
-            di[:, s:s + nf] = d_im[:, p, c]
+            s = (2 * p + c) * lane_pad
+            e[:hop_size, s:s + nf] = e_basis[:, p, c, :nf]
+            dr[:, s:s + nf] = d_re[:, p, c, :nf]
+            di[:, s:s + nf] = d_im[:, p, c, :nf]
     e = np.pad(e, ((0, 256 - e.shape[0]), (0, 0)))
 
-    e8 = np.zeros((rem, 2 * LANE_PAD))
-    e8[:, :nf] = e_tail[:, 0]
-    e8[:, LANE_PAD:LANE_PAD + nf] = e_tail[:, 1]
+    e8 = np.zeros((rem, 2 * lane_pad))
+    e8[:, :nf] = e_tail[:, 0, :nf]
+    e8[:, lane_pad:lane_pad + nf] = e_tail[:, 1, :nf]
 
-    fb = np.zeros((LANE_PAD, mel_fb.shape[1]))
-    fb[:nf] = mel_fb
+    fb = np.zeros((lane_pad, mel_fb.shape[1]))
+    fb[:nf] = mel_fb[:nf]
 
     e_hi, e_lo = _split(e)
     e8_hi, e8_lo = _split(e8)
@@ -118,7 +129,7 @@ def _dot3(a: jnp.ndarray, b_hi, b_lo, fast: bool) -> jnp.ndarray:
 
 def _mel_kernel(blocks_hbm, e_hi, e_lo, d_re, d_im, e8_hi, e8_lo,
                 fb_hi, fb_lo, out_ref, x_vmem, sem, *, rem: int,
-                fast: bool, tile_t: int):
+                fast: bool, tile_t: int, lane_pad: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     win = tile_t + 16
@@ -134,16 +145,16 @@ def _mel_kernel(blocks_hbm, e_hi, e_lo, d_re, d_im, e8_hi, e8_lo,
     # remainder term: frame t's last 8 samples = head of block t+8
     tail = xv[_J:_J + tile_t, :rem]                     # (TILE, rem)
     x8 = _dot3(tail, e8_hi[...], e8_lo[...], fast)      # (TILE, 2·LP)
-    x_re = x8[:, :LANE_PAD]
-    x_im = x8[:, LANE_PAD:]
+    x_re = x8[:, :lane_pad]
+    x_im = x8[:, lane_pad:]
 
     # stage 2: 8-tap k-dependent complex stencil, plane chunks lane-aligned
     for jj in range(_J):
         for q in range(6):
-            s = q * LANE_PAD
-            yjq = y[jj:jj + tile_t, s:s + LANE_PAD]
-            x_re = x_re + yjq * d_re[jj, s:s + LANE_PAD][None, :]
-            x_im = x_im + yjq * d_im[jj, s:s + LANE_PAD][None, :]
+            s = q * lane_pad
+            yjq = y[jj:jj + tile_t, s:s + lane_pad]
+            x_re = x_re + yjq * d_re[jj, s:s + lane_pad][None, :]
+            x_im = x_im + yjq * d_im[jj, s:s + lane_pad][None, :]
 
     mag = jnp.sqrt(x_re * x_re + x_im * x_im)           # (TILE, LP)
     out_ref[0] = _dot3(mag, fb_hi[...], fb_lo[...], fast)
@@ -171,7 +182,8 @@ def fused_block_mel(audio: jnp.ndarray, bases: MelKernelBases,
     rem = n_window - _J * hop_size
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_mel_kernel, rem=rem, fast=fast,
-                               tile_t=tile_t)
+                               tile_t=tile_t,
+                               lane_pad=bases.e_hi.shape[1] // 6)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
