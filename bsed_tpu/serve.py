@@ -58,12 +58,13 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
 
     if mel_algorithm is None:
         # Auto front end: the fused single-pallas-kernel block STFT
-        # (ops/mel_kernel.py — hop-block DFT + 9-tap stencil + |·| + mel,
-        # all VMEM-resident) measures 17.7 ms/batch-64 at 'high' vs the
-        # dense DFT's 22.3 ms on v5e ('fast': 12.8 vs 15.4) and sits inside
-        # the same ≤1e-3 dB golden gate. Its 3-product split IS
-        # Precision.HIGH arithmetic, so 'highest' keeps the dense path; off
-        # TPU the kernel would run in interpret mode, so keep dense there.
+        # (ops/mel_kernel.py — hop-block DFT + phase-twisted banded-matmul
+        # recombination + |·| + mel, all VMEM-resident with double-buffered
+        # DMA) measures 12.5 ms/batch-64 at 'high' vs the dense DFT's
+        # 22.3 ms on v5e ('fast': 6.8 vs 15.4) and sits inside the same
+        # ≤1e-3 dB golden gate. Its 3-product split IS Precision.HIGH
+        # arithmetic, so 'highest' keeps the dense path; off TPU the kernel
+        # would run in interpret mode, so keep dense there.
         a = cfg.audio
         mel_algorithm = (
             "block_pallas"
