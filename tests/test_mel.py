@@ -238,3 +238,22 @@ def test_fused_block_mel_kernel_matches_dense():
         MelFrontEnd(cfg, algorithm="block_pallas", precision="fast")(
             audio, log=True))
     assert np.max(np.abs(dense - fast)) < 0.5  # dB
+
+
+@pytest.mark.slow
+def test_fused_block_mel_kernel_full_serving_shape():
+    """Same gate at the EXACT serving shape (10 s → 1255 frames): 14 time
+    tiles per clip including the padded tail tile, and the double-buffer
+    batch wrap — the grid geometry the real chip runs."""
+    cfg = AudioConfig()
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((2, cfg.n_samples)).astype(np.float32) * 0.1
+
+    dense = np.asarray(
+        MelFrontEnd(cfg, algorithm="dense", precision="highest")(
+            audio, log=True))
+    fused = np.asarray(
+        MelFrontEnd(cfg, algorithm="block_pallas", precision="high")(
+            audio, log=True))
+    assert fused.shape == dense.shape == (2, 1255, 128)
+    assert np.max(np.abs(dense - fused)) < 1e-3  # dB
