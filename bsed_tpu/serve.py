@@ -223,21 +223,33 @@ def make_sharded_forward(cfg: Config, modules: TrainModules, params: Dict,
     """Data-parallel serving over a device mesh.
 
     The reference serves on one GPU (SURVEY.md §2.3); here the whole
-    audio→mel→CRNN→posterior program runs SPMD over ``mesh``: the batch is
-    sharded on the data axis, parameters are replicated, and GSPMD needs
-    ZERO collectives — the pipeline is embarrassingly parallel over clips,
-    so throughput scales linearly over ICI with no cross-chip traffic.
+    audio→mel→CRNN→posterior program runs SPMD over ``mesh`` via
+    ``shard_map``: the batch is sharded on the data axis, parameters are
+    replicated, and the body needs ZERO collectives — the pipeline is
+    embarrassingly parallel over clips, so throughput scales linearly over
+    ICI with no cross-chip traffic. shard_map (not bare GSPMD sharding
+    constraints) is deliberate: each device runs the full per-shard
+    program — including the fused Pallas mel kernel, which partitions by
+    construction under shard_map instead of relying on the partitioner's
+    treatment of custom calls.
 
     Returns ``forward(audio (B, n_samples)) -> (strong, weak)`` with B
     divisible by the mesh size; shard the input with
     ``parallel.mesh.shard_batch`` (or hand it host-local shards under
     multi-host via ``host_local_batch``).
     """
+    from jax.sharding import PartitionSpec as P
+
     from bsed_tpu.parallel.mesh import batch_sharding, replicate
 
     params = replicate(mesh, params)
     batch_stats = replicate(mesh, batch_stats)
     fwd = make_fast_forward(cfg, modules, params, batch_stats,
                             precision=precision)
+    # check_vma off: the body is collective-free by design, and the GRU
+    # scan's carry starts replicated (zeros from closed-over params) before
+    # turning device-varying — the VMA checker would demand a pcast
+    sharded = jax.shard_map(fwd, mesh=mesh, in_specs=P("data"),
+                            out_specs=P("data"), check_vma=False)
     shard = batch_sharding(mesh)
-    return jax.jit(fwd, in_shardings=shard, out_shardings=shard)
+    return jax.jit(sharded, in_shardings=shard, out_shardings=shard)

@@ -321,3 +321,46 @@ def test_sharded_serving_matches_single_device():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(weak), np.asarray(ref_weak),
                                atol=1e-6)
+
+
+def test_sharded_serving_with_pallas_mel_kernel():
+    """The multi-chip serving path at the PARITY audio config, with the
+    fused block-STFT Pallas mel kernel forced on (off-TPU the auto default
+    would fall back to dense): shard_map must run the kernel per-shard and
+    reproduce the single-device posteriors exactly."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from bsed_tpu.serve import make_fast_forward
+    from bsed_tpu.train.steps import build_modules, create_train_state
+    from jax.sharding import PartitionSpec as P
+
+    cfg = get_config("baseline").replace(
+        audio=dataclasses.replace(AudioConfig(), max_len_seconds=1.0))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    audio = np.random.default_rng(1).standard_normal(
+        (8, cfg.audio.n_samples)).astype(np.float32) * 0.1
+
+    ref_fwd = jax.jit(make_fast_forward(
+        cfg, modules, state.params, state.batch_stats, precision="high",
+        mel_algorithm="block_pallas"))
+    ref_strong, ref_weak = ref_fwd(jnp.asarray(audio))
+
+    mesh = make_mesh(jax.devices()[:8])
+    params = replicate(mesh, state.params)
+    stats = replicate(mesh, state.batch_stats)
+    fwd = make_fast_forward(cfg, modules, params, stats, precision="high",
+                            mel_algorithm="block_pallas")
+    sharded = jax.jit(jax.shard_map(fwd, mesh=mesh, in_specs=P("data"),
+                                    out_specs=P("data"), check_vma=False))
+    strong, weak = sharded(shard_batch(mesh, jnp.asarray(audio)))
+    np.testing.assert_allclose(np.asarray(strong), np.asarray(ref_strong),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(weak), np.asarray(ref_weak),
+                               atol=1e-6)
