@@ -215,7 +215,8 @@ def test_block_stft_hamming_separability_is_exact():
 
 def test_fused_block_mel_kernel_matches_dense():
     """The single-pallas-kernel front end (ops/mel_kernel.fused_block_mel:
-    hop-block DFT + stencil + |·| + mel projection, all VMEM-resident) must
+    hop-block DFT + phase-twist banded-matmul frame recombination + |·| +
+    mel projection, all VMEM-resident) must
     match the dense windowed-DFT path. The kernel's 3-product bf16 split is
     Precision.HIGH arithmetic, so compare against dense at 'high' and gate
     at the same ≤1e-3 dB the serving tier is held to (interpret mode off
