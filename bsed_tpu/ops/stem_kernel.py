@@ -138,7 +138,7 @@ def fused_stem_block(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]
         _stem_kernel,
         grid=(b, t_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),   # stays in HBM, DMA'd
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
