@@ -106,8 +106,8 @@ def evaluate_operating_point(
             fp[c] += int((~dtc_valid).sum())
 
             if len(gt_ev):
-                gt_dur = np.maximum(gt_ev[:, 1] - gt_ev[:, 0], 1e-12)
-                covered = inter[dtc_valid].sum(axis=0) / gt_dur
+                ev_dur = np.maximum(gt_ev[:, 1] - gt_ev[:, 0], 1e-12)
+                covered = inter[dtc_valid].sum(axis=0) / ev_dur
                 tp[c] += int((covered >= gtc_threshold).sum())
 
             # cross-triggers: DTC-invalid detections vs other-class GT

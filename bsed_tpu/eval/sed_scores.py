@@ -21,6 +21,13 @@ event detection"):
     evaluation_measures.py:72).
   * Segment-based: activity is rasterized into fixed-length segments per
     file; per-class TP/FP/FN counted per segment.
+
+File-set semantics (both metrics): only files present in the REFERENCE
+dataframe are evaluated (evaluation_measures.py:61,100) — the reference's
+groundtruth assembly concatenates per-clip annotation txts, so clips with
+zero events contribute no rows and system detections in them are never
+counted as false positives. (psds_eval differs: it scores detections in
+every file — see eval/psds.py.)
 """
 from __future__ import annotations
 
@@ -59,6 +66,18 @@ def _classes_union(reference: pd.DataFrame, estimated: pd.DataFrame) -> List[str
     return sorted(classes)
 
 
+def _evaluated_files(reference: pd.DataFrame) -> List[str]:
+    """The set of files that gets scored at all: the reference dataframe's
+    filenames (evaluation_measures.py:61,100 — ``evaluated_files =
+    reference["filename"].unique()``). Files that appear only in the system
+    output are never evaluated, so their detections do NOT count as false
+    positives; files present in the reference with a NaN event_label marker
+    row (get_event_list_current_file, :34-38) ARE evaluated as empty."""
+    if not len(reference):
+        return []
+    return list(pd.unique(reference["filename"]))
+
+
 def _events_by_file_class(df: pd.DataFrame):
     out: Dict[str, Dict[str, np.ndarray]] = {}
     if not len(df):
@@ -79,8 +98,7 @@ def event_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,
     est_map = _events_by_file_class(estimated)
     counts = {c: ClassCounts() for c in classes}
 
-    files = set(ref_map) | set(est_map)
-    for fname in files:
+    for fname in _evaluated_files(reference):
         for label in classes:
             ref_ev = ref_map.get(fname, {}).get(label, np.zeros((0, 2)))
             est_ev = est_map.get(fname, {}).get(label, np.zeros((0, 2)))
@@ -125,6 +143,7 @@ def segment_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,
     est_map = _events_by_file_class(estimated)
     counts = {c: ClassCounts() for c in classes}
     n_seg = int(np.ceil(file_duration / time_resolution))
+    files = _evaluated_files(reference)
 
     def rasterize(ev: np.ndarray) -> np.ndarray:
         grid = np.zeros(n_seg, dtype=bool)
@@ -134,7 +153,6 @@ def segment_based_counts(reference: pd.DataFrame, estimated: pd.DataFrame,
             grid[max(a, 0):min(b, n_seg)] = True
         return grid
 
-    files = set(ref_map) | set(est_map)
     for fname in files:
         for label in classes:
             r = rasterize(ref_map.get(fname, {}).get(label, np.zeros((0, 2))))

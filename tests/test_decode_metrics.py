@@ -349,8 +349,10 @@ def test_golden_onset_exactly_at_collar():
 
 def test_golden_same_label_cross_file():
     """Identical (label, onset, offset) in a DIFFERENT file never matches:
-    TP=0, one FP in f2, one FN in f1."""
-    ref = [("f1", "EATO", 1.0, 2.0)]
+    TP=0, one FP in f2, one FN in f1. (f2 carries a groundtruth row so it is
+    inside the evaluated-file set — see
+    test_golden_detections_in_gt_less_file_not_scored for the other case.)"""
+    ref = [("f1", "EATO", 1.0, 2.0), ("f2", "WOTH", 5.0, 6.0)]
     est = [("f2", "EATO", 1.0, 2.0)]
     c = _counts(ref, est)["EATO"]
     assert (c.tp, c.n_ref, c.n_sys) == (0, 1, 1)
@@ -391,6 +393,66 @@ def test_golden_segment_based_boundary():
     c = segment_based_counts(_df(ref), _df(est), time_resolution=1.0,
                              file_duration=10.0)["EATO"]
     assert (c.tp, c.n_ref, c.n_sys) == (2, 3, 2)
+
+
+def test_golden_detections_in_gt_less_file_not_scored():
+    """sed_eval file-set semantics: the reference iterates
+    ``reference["filename"].unique()`` (evaluation_measures.py:61,100), so a
+    file that never appears in the groundtruth dataframe is not evaluated at
+    all — detections there are NOT false positives. (Clips with zero events
+    contribute no rows to the reference's concatenated groundtruth, so this
+    is the live behavior for every empty val clip.)"""
+    from bsed_tpu.eval.sed_scores import (event_based_counts,
+                                          segment_based_counts)
+    ref = [("f1", "EATO", 1.0, 2.0)]
+    est = [("f1", "EATO", 1.0, 2.0),
+           ("f2", "EATO", 4.0, 5.0),      # f2 has no GT rows → never scored
+           ("f2", "BCCH", 6.0, 7.0)]
+    c = event_based_counts(_df(ref), _df(est))
+    assert (c["EATO"].tp, c["EATO"].n_ref, c["EATO"].n_sys) == (1, 1, 1)
+    assert c["EATO"].f_measure == 1.0
+    # BCCH enters the class union (sed_eval builds event_label_list from
+    # both dataframes) but accrues no counts → F1 0 enters the macro mean
+    assert (c["BCCH"].tp, c["BCCH"].n_ref, c["BCCH"].n_sys) == (0, 0, 0)
+    s = segment_based_counts(_df(ref), _df(est))
+    assert (s["EATO"].tp, s["EATO"].n_ref, s["EATO"].n_sys) == (1, 1, 1)
+    assert s["BCCH"].n_sys == 0
+
+
+def test_psds_counts_fps_in_gt_less_files_unlike_sed_eval():
+    """psds_eval DOES score detections in files without groundtruth (its
+    eFPR is rated against the whole dataset duration), so the psds path must
+    keep the union-of-files convention the sed_eval path just dropped."""
+    gt = pd.DataFrame({"event_label": ["EATO"], "onset": [0.0],
+                       "offset": [2.0], "filename": ["f1"]})
+    det = pd.DataFrame({"event_label": ["EATO", "EATO"],
+                        "onset": [0.0, 3.0], "offset": [2.0, 5.0],
+                        "filename": ["f1", "f2"]})
+    op = evaluate_operating_point(det, gt)
+    c = op.classes.index("EATO")
+    assert op.tp[c] == 1 and op.fp[c] == 1
+
+
+def test_operating_point_gt_dur_survives_detection_loop():
+    """Regression: the per-class gt_dur array must come back intact (it was
+    shadowed by a per-event local inside the detection loop, corrupting the
+    alpha_ct cross-trigger rates for any OP that processed detections)."""
+    gt = pd.DataFrame({
+        "event_label": ["EATO", "WOTH"],
+        "onset": [0.0, 5.0], "offset": [2.0, 8.0],
+        "filename": ["f1", "f1"],
+    })
+    det = pd.DataFrame({"event_label": ["EATO"], "onset": [0.0],
+                        "offset": [2.0], "filename": ["f1"]})
+    op = evaluate_operating_point(det, gt)
+    assert op.gt_dur is not None and op.gt_dur.shape == (2,)
+    i = op.classes.index("EATO")
+    j = op.classes.index("WOTH")
+    assert np.isclose(op.gt_dur[i], 2.0)
+    assert np.isclose(op.gt_dur[j], 3.0)
+    # and the alpha_ct path consumes it without shape errors
+    res = compute_psds([op], total_duration_s=3600.0, alpha_ct=1.0)
+    assert 0.0 <= res.value <= 1.0
 
 
 def test_max_bipartite_matches_brute_force():
