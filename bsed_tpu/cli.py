@@ -41,14 +41,14 @@ def _resolve_config(args, allow_store: bool = True):
     if getattr(args, "preset", None):
         return get_config(args.preset)
     store = getattr(args, "store_dir", None)
-    if store and allow_store:
-        meta_path = os.path.join(store, "model", "meta.json")
-        if os.path.exists(meta_path):
-            import json
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if "config" in meta:
-                return config_from_dict(meta["config"])
+    if store and allow_store and os.path.isdir(store):
+        from bsed_tpu.utils.checkpoint import CheckpointManager
+        try:
+            meta = CheckpointManager(store).load_meta()
+        except FileNotFoundError:
+            meta = {}
+        if "config" in meta:
+            return config_from_dict(meta["config"])
     return get_config("baseline")
 
 

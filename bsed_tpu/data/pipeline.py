@@ -36,6 +36,24 @@ def _cat(a, b):
     return jnp.concatenate([a, b])
 
 
+def _real_stream_batch(wf, wt, uf, ut, wi, ui, wt_rank: int, ut_rank: int):
+    """Gather + weak-reduce + concat for the two real streams (weak-labeled
+    + unlabeled/pseudo-labeled): the shared body of ``_assemble_batch`` and
+    ``_assemble_real`` (pure function, traced under jit on the device
+    path). The weak stream may carry strong (T, C) targets — they are
+    max-reduced to weak here and passed through as ``real_strong`` when
+    BOTH streams have them."""
+    out = {"real": _cat(wf[wi], uf[ui])}
+    w_weak = wt[wi]
+    u_weak = ut[ui]
+    w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
+    u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
+    out["real_weak"] = _cat(w_red, u_red)
+    if wt_rank == 3 and ut_rank == 3:
+        out["real_strong"] = _cat(w_weak, u_weak)
+    return out
+
+
 class ThreeStreamLoader:
     def __init__(self, syn_dataset, weak_dataset=None, unlabeled_dataset=None,
                  batch_size: int = 12, seed: int = 2023, shuffle: bool = True,
@@ -100,15 +118,8 @@ class ThreeStreamLoader:
         ut_rank = unlab_arr[1].ndim
 
         def asm(wf, wt, uf, ut, wi, ui):
-            real = _cat(wf[wi], uf[ui])
-            w_weak = wt[wi]
-            u_weak = ut[ui]
-            w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
-            u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
-            out = {"real": real, "real_weak": _cat(w_red, u_red)}
-            if wt_rank == 3 and ut_rank == 3:
-                out["real_strong"] = _cat(w_weak, u_weak)
-            return out
+            return _real_stream_batch(wf, wt, uf, ut, wi, ui,
+                                      wt_rank, ut_rank)
 
         if isinstance(weak_arr[0], np.ndarray):
             return asm(*weak_arr, *unlab_arr, w_ids, u_ids)
@@ -134,14 +145,8 @@ class ThreeStreamLoader:
                 ui=None):
             out = {"syn": sf[si], "syn_strong": st[si]}
             if has_real:
-                out["real"] = _cat(wf[wi], uf[ui])
-                w_weak = wt[wi]
-                u_weak = ut[ui]
-                w_red = w_weak.max(axis=1) if wt_rank == 3 else w_weak
-                u_red = u_weak.max(axis=1) if ut_rank == 3 else u_weak
-                out["real_weak"] = _cat(w_red, u_red)
-                if wt_rank == 3 and ut_rank == 3:
-                    out["real_strong"] = _cat(w_weak, u_weak)
+                out.update(_real_stream_batch(wf, wt, uf, ut, wi, ui,
+                                              wt_rank, ut_rank))
             return out
 
         args = (*syn_arr, s_ids)

@@ -209,6 +209,42 @@ def _support_curve(xs: np.ndarray, ys: np.ndarray, max_x: float
     return ux, out_y
 
 
+def _align_classes(
+    ops: Sequence[OperatingPointCounts],
+) -> Tuple[List[str], List[OperatingPointCounts]]:
+    """Re-index every operating point onto the union class list.
+
+    ``evaluate_operating_point`` with ``classes=None`` derives each OP's
+    class list from groundtruth ∪ detections, so a class detected only at
+    some thresholds appears in some OPs and not others; stacking those
+    per-class arrays positionally would crash (ragged) or silently pair
+    different classes. A class absent from an OP had no groundtruth and no
+    detections there, so zero counts are its exact values."""
+    union = sorted(set().union(*(op.classes for op in ops)))
+    if all(list(op.classes) == union for op in ops):
+        return union, list(ops)
+    idx = {c: i for i, c in enumerate(union)}
+    n = len(union)
+    aligned = []
+    for op in ops:
+        rows = np.asarray([idx[c] for c in op.classes], dtype=int)
+        tp = np.zeros(n)
+        fp = np.zeros(n)
+        n_ref = np.zeros(n)
+        ct = np.zeros((n, n))
+        tp[rows] = op.tp
+        fp[rows] = op.fp
+        n_ref[rows] = op.n_ref
+        ct[np.ix_(rows, rows)] = op.ct
+        gt_dur = None
+        if op.gt_dur is not None:
+            gt_dur = np.zeros(n)
+            gt_dur[rows] = op.gt_dur
+        aligned.append(OperatingPointCounts(union, tp, fp, n_ref, ct,
+                                            gt_dur))
+    return union, aligned
+
+
 def compute_psds(
     operating_points: Sequence[OperatingPointCounts],
     total_duration_s: float,
@@ -239,7 +275,7 @@ def compute_psds(
     if not operating_points:
         grid = np.asarray([0.0, max_efpr])
         return PSDSResult(0.0, grid, np.zeros(2))
-    classes = operating_points[0].classes
+    classes, operating_points = _align_classes(operating_points)
     n = len(classes)
     per_op = [_class_rates(op, hours, alpha_ct) for op in operating_points]
     efpr_mat = np.stack([e for e, _ in per_op])        # (n_ops, C)

@@ -111,6 +111,13 @@ def build_mel_kernel_bases(n_window: int, hop_size: int,
     and VPU op in the kernel with bitwise-identical mel output."""
     if n_window // hop_size != _J:
         raise ValueError("mel kernel is specialized to N//H == 8")
+    if n_window % hop_size == 0:
+        raise ValueError(
+            "mel kernel needs a non-empty tail block (n_window % hop_size "
+            "!= 0); use the dense front end for exact-multiple hops")
+    if hop_size >= 256:
+        raise ValueError("mel kernel packs hop_size+1 basis rows into a "
+                         "256-row plane; hop_size must be < 256")
     nf_full = 1 + n_window // 2
     used = np.nonzero(np.abs(mel_fb).sum(axis=1))[0]
     nf = int(used[-1]) + 1 if used.size else nf_full

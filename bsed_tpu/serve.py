@@ -38,6 +38,22 @@ class _RestCNN(nn.Module):
         return x.astype(jnp.float32)
 
 
+def _fold_divides(pooling, fold0: int = 8) -> bool:
+    """build_folded_stem unfolds by each leading block's frequency-pooling
+    factor; it raises if a block's pool does not divide the running fold
+    (ops/folded_stem.py:104). Gate auto-selection on the same walk so
+    ineligible pooling layouts fall back to the standard path instead of
+    crashing construction."""
+    f = fold0
+    for _, pf in (tuple(p) for p in pooling):
+        if f == 1:
+            break
+        if pf == 0 or f % pf != 0:
+            return False
+        f //= pf
+    return True
+
+
 def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
                       batch_stats: Dict, use_fused_stem: bool = False,
                       stem_impl: str = "pallas",
@@ -71,7 +87,13 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
             if (precision in ("high", "fast")
                 and jax.default_backend() == "tpu"
                 and a.n_window // a.hop_size == 8
-                and a.hop_size <= 256)
+                # kernel layout constraints: the stage-1 basis packs
+                # hop_size+1 rows into a 256-row plane, and the tail
+                # recombination needs a non-empty remainder block
+                # (rem = n_window − 8·hop_size ≥ 1; rem == 0 would make
+                # build_mel_kernel_bases pad by a negative width)
+                and a.hop_size < 256
+                and a.n_window % a.hop_size != 0)
             else "dense")
     fe = MelFrontEnd(cfg.audio, precision=precision,
                      algorithm=mel_algorithm)
@@ -92,7 +114,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
               and cfg.model.kernel_size == 3
               and cfg.model.activation in ("glu", "cg", "relu", "leakyrelu")
               and cfg.audio.n_mels % 8 == 0
-              and cfg.model.predictor_head != "crnn")
+              and cfg.model.predictor_head != "crnn"
+              and _fold_divides(cfg.model.pooling))
     fused = (use_fused_stem and not folded and not cfg.model.use_fpn
              and cfg.model.activation == "glu"
              and cfg.audio.n_mels == 128)

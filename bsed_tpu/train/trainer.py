@@ -192,8 +192,23 @@ class Trainer:
     # ------------------------------------------------------------------
     def _eval_params(self):
         """Validate with the student model (the reference evaluates the
-        student; the EMA teacher is used for consistency only)."""
-        return self.state.params, self.state.batch_stats
+        student; the EMA teacher is used for consistency only).
+
+        Multi-host: evaluation runs REPLICATED per process — the val loader
+        is not process-strided (every host iterates the full val set) and
+        the decode/scoring path is host-side pandas, so each host pulls its
+        addressable copy of the (replicated) params and predicts locally.
+        Sharding eval batches over a multi-host mesh would instead treat
+        each host's identical batch as a disjoint shard and produce
+        non-addressable outputs that ``np.asarray`` cannot fetch."""
+        params, stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None and jax.process_count() > 1:
+            def pull(x):
+                return (np.asarray(x.addressable_data(0))
+                        if isinstance(x, jax.Array) else x)
+            params = jax.tree.map(pull, params)
+            stats = jax.tree.map(pull, stats)
+        return params, stats
 
     def evaluate(self, loader: EvalLoader, thresholds=(0.5,),
                  learned_post: bool = False) -> Dict[str, float]:
@@ -208,7 +223,9 @@ class Trainer:
         filenames_all = []
         for mel, target, names, n_valid in loader:
             mel = jnp.asarray(mel)
-            if self.mesh is not None:   # rows are independent: pure DP
+            if self.mesh is not None and jax.process_count() == 1:
+                # rows are independent: pure DP (multi-host evals
+                # replicated instead — see _eval_params)
                 mel = shard_batch(self.mesh, mel)
             strong, weak = self.predict(params, stats, mel,
                                         inference=self.cfg.model.use_fpn)
@@ -284,7 +301,13 @@ class Trainer:
                               else "val_event_f1")
                 score = row.get(metric_key, 0.0)
                 if self.writer is not None:
-                    self.writer.add_scalar(metric_key, score, epoch)
+                    # index val scalars by END-OF-EPOCH global step so the
+                    # step-unit purge_step on resume covers them too (an
+                    # epoch-unit index would sit below any step-unit purge
+                    # point and survive as duplicates)
+                    self.writer.add_scalar(
+                        metric_key, score,
+                        (epoch + 1) * len(self.train_loader))
                 if cfg.train.checkpoint_epochs and \
                         epoch % cfg.train.checkpoint_epochs == 0:
                     self.ckpt.save(f"epoch_{epoch}", self.state)

@@ -482,3 +482,28 @@ def test_max_bipartite_matches_brute_force():
     # dense 1500x1500: must not blow any recursion limit
     big = np.ones((1500, 1500), dtype=bool)
     assert _max_bipartite_tp(big) == 1500
+
+
+def test_compute_psds_aligns_ragged_op_class_lists():
+    """Operating points built with evaluate_operating_point's default
+    ``classes=None`` derive their class list from groundtruth ∪ detections,
+    so a class hallucinated only at a low threshold appears in some OPs and
+    not others. compute_psds must re-index every OP onto the union class
+    list (zero counts for the absent classes) instead of stacking ragged /
+    misordered per-class arrays."""
+    gt = pd.DataFrame({"event_label": ["EATO"], "onset": [0.0],
+                       "offset": [2.0], "filename": ["f1"]})
+    det_lo = pd.DataFrame({"event_label": ["EATO", "BCCH"],
+                           "onset": [0.0, 4.0], "offset": [2.0, 5.0],
+                           "filename": ["f1", "f1"]})
+    det_hi = pd.DataFrame({"event_label": ["EATO"], "onset": [0.0],
+                           "offset": [2.0], "filename": ["f1"]})
+    op_lo = evaluate_operating_point(det_lo, gt)     # classes [BCCH, EATO]
+    op_hi = evaluate_operating_point(det_hi, gt)     # classes [EATO]
+    assert op_lo.classes != op_hi.classes
+    res = compute_psds([op_lo, op_hi], total_duration_s=3600.0)
+    assert 0.0 <= res.value <= 1.0
+    # EATO is a perfect detection at both OPs: TPR 1 at eFPR 0 must
+    # survive the alignment (BCCH contributes TPR 0 with no GT, dragging
+    # the mean to 0.5 across the 2-class union)
+    assert np.isclose(res.etpr[-1], 0.5)

@@ -114,3 +114,19 @@ def test_folded_serving_forward_matches_standard():
     s1, w1 = fold(audio)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-5)
+
+
+def test_fold_divides_gate_matches_builder():
+    """serve's auto-selection gate must admit exactly the pooling layouts
+    build_folded_stem can fold: each leading block's frequency pool has to
+    divide the running fold (ops/folded_stem.py:104). A layout like
+    ((1,4),(1,4),...) with fold0=8 used to pass the gate and crash
+    construction (4 does not divide 2 after the first block)."""
+    from bsed_tpu.serve import _fold_divides
+
+    assert _fold_divides(((2, 2), (2, 2), (1, 2), (1, 2)))   # default cfg
+    assert _fold_divides(((1, 8), (1, 1)))                    # one-shot
+    assert _fold_divides(((1, 2), (1, 2), (1, 2)))            # leftover f=1
+    assert _fold_divides(((1, 2), (1, 2)))                    # leftover f=2
+    assert not _fold_divides(((1, 4), (1, 4)))                # 4 ∤ 2
+    assert not _fold_divides(((1, 3), (1, 2)))                # 3 ∤ 8

@@ -258,3 +258,21 @@ def test_fused_block_mel_kernel_full_serving_shape():
             audio, log=True))
     assert fused.shape == dense.shape == (2, 1255, 128)
     assert np.max(np.abs(dense - fused)) < 1e-3  # dB
+
+
+def test_mel_kernel_bases_reject_unsupported_hops():
+    """Geometry guards: the kernel packs hop_size+1 stage-1 basis rows into
+    a 256-row plane and needs a non-empty tail block (rem = n_window −
+    8·hop_size ≥ 1). hop_size == 256 (N//H == 8 but N %% H == 0) previously
+    crashed inside np.pad with a negative width once the serving auto-gate
+    admitted it; now both the builder and the serve gate reject it so
+    construction falls back to the dense front end."""
+    from bsed_tpu.ops.filterbank import mel_filterbank
+    from bsed_tpu.ops.mel_kernel import build_mel_kernel_bases
+
+    fb = mel_filterbank(sr=32000, n_fft=2048, n_mels=128, fmax=16000.0)
+    with pytest.raises(ValueError, match="tail"):
+        build_mel_kernel_bases(2048, 256, fb)          # rem == 0
+    with pytest.raises(ValueError, match="256-row"):
+        build_mel_kernel_bases(2060, 257, fb)          # 258 basis rows
+    build_mel_kernel_bases(2048, 255, fb)              # parity shape: fine
