@@ -364,3 +364,73 @@ def test_sharded_serving_with_pallas_mel_kernel():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(weak), np.asarray(ref_weak),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_true_two_process_distributed_training(tmp_path):
+    """REAL 2-process ``jax.distributed`` run (no monkeypatching): two
+    subprocesses join a coordination service, form one 8-device global CPU
+    mesh (4 virtual devices each, gloo collectives), and each drives a full
+    ``Trainer.fit`` epoch with process-strided loaders — the exact cli
+    recipe for a multi-host TPU pod. Both processes must agree exactly
+    (replicated state), and the epoch losses must match the 1-process
+    global-batch run (permutation-invariant global reductions; the only
+    difference is the global row order, so agreement is up to fp
+    reassociation)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import dataclasses
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.data.datasets import SyntheticDataSource
+    from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
+    from bsed_tpu.train.trainer import Trainer
+
+    with socket.socket() as s:     # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(port), outs[i],
+         str(tmp_path / f"store{i}")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=os.getcwd())
+        for i in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    rows = [json.load(open(o)) for o in outs]
+    # replicated state + identical full val set → bit-identical reports
+    assert rows[0].keys() == rows[1].keys()
+    for k in rows[0]:
+        assert rows[0][k] == rows[1][k], (k, rows)
+
+    # 1-process reference: same datasets, global batch 8 over the
+    # in-process 8-device mesh
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, dropout=0.0),
+        train=dataclasses.replace(cfg.train, batch_size=8))
+    syn = SyntheticDataSource(cfg, n_items=16, seed=1)
+    weak = SyntheticDataSource(cfg, n_items=8, seed=2)
+    unlab = SyntheticDataSource(cfg, n_items=8, seed=3)
+    val = SyntheticDataSource(cfg, n_items=8, seed=4)
+    loader = ThreeStreamLoader(syn, weak, unlab, batch_size=8, seed=7,
+                               shuffle=False)
+    trainer = Trainer(cfg, loader, val_loader=EvalLoader(val, batch_size=8),
+                      store_dir=str(tmp_path / "ref"), mesh="auto")
+    ref = trainer.fit(n_epochs=1)
+
+    for k in ("loss", "strong_class_loss", "weak_class_loss"):
+        np.testing.assert_allclose(rows[0][k], ref[k], rtol=1e-4,
+                                   err_msg=k)
+    # the posteriors feeding val decoding differ only by fp reassociation
+    for k in ("val_weak_f1", "val_event_f1"):
+        assert abs(rows[0][k] - ref[k]) < 0.05, (k, rows[0][k], ref[k])
