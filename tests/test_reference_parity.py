@@ -253,3 +253,53 @@ def test_export_loads_into_reference_classes(ref_models, tmp_path):
         ref_strong, ref_weak = predictor(enc)
     assert np.max(np.abs(np.asarray(strong) - ref_strong.numpy())) <= 1e-3
     assert np.max(np.abs(np.asarray(weak) - ref_weak.numpy())) <= 1e-3
+
+
+@pytest.mark.parametrize("topo", [
+    # activation coverage + non-canonical filters / pooling / RNN geometry:
+    # the canonical-kwargs tests above pin the flagship; these pin the
+    # GENERALITY of the conversion + flax topology against the real classes
+    dict(activation="relu",
+         nb_filters=(8, 16, 32, 64, 64, 64, 64),
+         pooling=((2, 4), (2, 4), (1, 2), (1, 2), (1, 1), (1, 2), (1, 1)),
+         n_rnn_cell=64, n_layers_rnn=1),
+    dict(activation="cg",
+         nb_filters=(16, 32, 64, 96, 96, 96, 96),
+         pooling=((4, 2), (1, 2), (1, 2), (1, 2), (1, 2), (1, 2), (1, 2)),
+         n_rnn_cell=128, n_layers_rnn=2),
+    dict(activation="leakyrelu",
+         nb_filters=(24, 48, 96, 128, 128, 128, 128),
+         pooling=((2, 2), (2, 2), (1, 2), (1, 2), (1, 2), (1, 2), (1, 2)),
+         n_rnn_cell=96, n_layers_rnn=3),
+], ids=["relu-shallowGRU", "cg-ptr4", "leakyrelu-3layerGRU"])
+def test_nondefault_topology_reference_parity(ref_models, tmp_path, topo):
+    """Topology fuzz vs the REAL reference classes: activation variants
+    (relu / ContextGating / leakyrelu — CNN.py:33-84 supports all four),
+    non-canonical filter counts, redistributed time/freq pooling (incl.
+    ptr=16 and ptr=4 with a front-loaded time pool), and 1–3 GRU layers.
+    Pins that torch_compat's conversion and the flax modules are generic
+    over the reference's whole constructor surface, not just the flagship
+    kwargs."""
+    import dataclasses
+
+    grl_mod, _ = ref_models
+    n = len(topo["nb_filters"])
+    kwargs = {
+        "n_in_channel": 1, "nclass": 20, "attention": True,
+        "n_RNN_cell": topo["n_rnn_cell"],
+        "n_layers_RNN": topo["n_layers_rnn"],
+        "activation": topo["activation"], "dropout": 0.5,
+        "kernel_size": n * [3], "padding": n * [1], "stride": n * [1],
+        "nb_filters": list(topo["nb_filters"]),
+        "pooling": [list(p) for p in topo["pooling"]],
+    }
+    torch.manual_seed(hash(topo["activation"]) % 2**31)
+    crnn = grl_mod.CRNN(**kwargs).eval()
+    predictor = grl_mod.Predictor(
+        nclass=20, attention=True, n_RNN_cell=topo["n_rnn_cell"]).eval()
+    ckpt = str(tmp_path / "baseline_best")
+    _save_ckpt(ckpt, crnn, predictor)
+
+    cfg = get_config("baseline")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, **topo))
+    _assert_parity(cfg, ckpt, crnn, predictor, batch=1)
