@@ -194,7 +194,8 @@ def _psds_sweep(cfg, args, val_loader):
     import jax.numpy as jnp
     import numpy as np
 
-    from bsed_tpu.eval.decode import groundtruth_df_from_events
+    from bsed_tpu.eval.decode import (groundtruth_df_from_events,
+                                      gt_events_from_frame_targets)
     from bsed_tpu.eval.operating_points import (default_thresholds,
                                                 sweep_operating_points)
     from bsed_tpu.eval.psds import compute_psds
@@ -214,7 +215,6 @@ def _psds_sweep(cfg, args, val_loader):
     codec = ManyHotEncoder(cfg.bird_list, n_frames=cfg.n_frames,
                            sr=cfg.audio.sr, hop_size=cfg.audio.hop_size,
                            pooling_time_ratio=cfg.model.pooling_time_ratio)
-    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
 
     def batches():
         for mel, target, names, n_valid in val_loader:
@@ -223,10 +223,8 @@ def _psds_sweep(cfg, args, val_loader):
             if true_events is None:
                 target = np.asarray(target)[:n_valid]
                 if target.ndim == 3:
-                    for b, name in enumerate(names[:n_valid]):
-                        evs = codec.decode_strong(target[b])
-                        gt_events[name] = [(l, a * sec, b_ * sec)
-                                           for (l, a, b_) in evs]
+                    gt_events.update(gt_events_from_frame_targets(
+                        target, names[:n_valid], codec, cfg))
             yield np.asarray(strong)[:n_valid], names[:n_valid]
 
     # run the forward pass first so gt_events is fully populated before

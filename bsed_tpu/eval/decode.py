@@ -125,6 +125,25 @@ def save_prediction_dfs(dfs, base_path: str) -> list:
     return paths
 
 
+def gt_events_from_frame_targets(targets: np.ndarray, names: Sequence[str],
+                                 codec, cfg: Config
+                                 ) -> Dict[str, list]:
+    """Fallback ground-truth reconstruction from (B, T_frames, C) frame
+    targets when original-second annotations are unavailable: run-length
+    decode each clip's target matrix and convert pooled-frame indices to
+    seconds (quantized at pooling_time_ratio/(sr/hop) ≈ 32 ms — the
+    second-resolution path via ``EvalLoader.groundtruth_events`` is
+    preferred, evaluation_measures.py:226-248). Shared by Trainer.evaluate,
+    evaluate_checkpoint and ``cli eval --psds-sweep``."""
+    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
+    out: Dict[str, list] = {}
+    for b, name in enumerate(names):
+        events = codec.decode_strong(targets[b])
+        out[name] = [(label, a * sec, b_ * sec)
+                     for (label, a, b_) in events]
+    return out
+
+
 def groundtruth_df_from_events(
     per_file_events: Dict[str, Sequence[Tuple[str, float, float]]]
 ) -> pd.DataFrame:

@@ -23,6 +23,7 @@ from bsed_tpu.config import Config, get_config
 from bsed_tpu.data.codec import ManyHotEncoder
 from bsed_tpu.data.pipeline import EvalLoader
 from bsed_tpu.eval.decode import (decode_batch, groundtruth_df_from_events,
+                                  gt_events_from_frame_targets,
                                   merge_prediction_dfs)
 from bsed_tpu.eval.psds import compute_macro_f_score
 from bsed_tpu.eval.sed_scores import (event_based_counts, macro_f_measure,
@@ -40,6 +41,12 @@ def load_torch_checkpoint(path: str, cfg: Config):
     import torch
     from bsed_tpu.utils import torch_compat as tc
 
+    if cfg.model.predictor_head == "crnn":
+        raise ValueError(
+            "predictor_head='crnn' has no reference checkpoint layout to "
+            "load from: the reference's CRNN_pred-as-head wiring "
+            "(main_scmt_ada_weak_seperate_2_crnn.py:673-687) is commented "
+            "out; only the 'linear' and 'mlp' heads round-trip")
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     crnn_sd = ckpt["model"]["state_dict"]
     pred_sd = ckpt["model_p"]["state_dict"]
@@ -69,6 +76,11 @@ def export_torch_checkpoint(cfg: Config, params: Dict, batch_stats: Dict,
     from bsed_tpu.utils import torch_compat as tc
 
     m = cfg.model
+    if m.predictor_head == "crnn":
+        raise ValueError(
+            "predictor_head='crnn' has no reference checkpoint layout to "
+            "export to (see load_torch_checkpoint); only 'linear' and "
+            "'mlp' heads round-trip")
     crnn_sd = tc.export_crnn(params["encoder"], batch_stats["encoder"],
                              n_blocks=len(m.nb_filters),
                              num_layers_rnn=m.n_layers_rnn,
@@ -91,7 +103,8 @@ def export_torch_checkpoint(cfg: Config, params: Dict, batch_stats: Dict,
     torch.save({
         "model": {"name": "CRNN_fpn" if m.use_fpn else "CRNN", "args": "",
                   "kwargs": crnn_kwargs, "state_dict": as_t(crnn_sd)},
-        "model_p": {"name": "Predictor", "args": "",
+        "model_p": {"name": ("Predictor_2" if m.predictor_head == "mlp"
+                             else "Predictor"), "args": "",
                     "kwargs": {"nclass": cfg.nclass, "attention": True,
                                "n_RNN_cell": m.n_rnn_cell},
                     "state_dict": as_t(pred_sd)},
@@ -129,7 +142,6 @@ def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
     # frame-decoded reconstruction only when annotations are unavailable
     true_events = loader.groundtruth_events()
     gt_events = true_events if true_events is not None else {}
-    sec = cfg.model.pooling_time_ratio / (cfg.audio.sr / cfg.audio.hop_size)
     for mel, target, names, n_valid in loader:
         strong, _ = predict(params, stats, jnp.asarray(mel),
                             inference=cfg.model.use_fpn)
@@ -140,17 +152,24 @@ def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
                                      learned_post=learned_post))
         target = np.asarray(target)[:n_valid]
         if true_events is None:
-            for b, name in enumerate(names):
-                events = codec.decode_strong(target[b])
-                gt_events[name] = [(l, a * sec, b_ * sec)
-                                   for (l, a, b_) in events]
+            gt_events.update(gt_events_from_frame_targets(
+                target, names, codec, cfg))
 
-    pred_df = merge_prediction_dfs(pred_dfs)[thresholds[0]]
+    merged = merge_prediction_dfs(pred_dfs)
     gt_df = groundtruth_df_from_events(gt_events)
 
+    # score EVERY requested threshold (the primary/reported one is
+    # thresholds[0], matching the reference's single 0.5 headline —
+    # evaluation_measures.py:518-526); extra thresholds land in
+    # per_threshold instead of being silently discarded
+    per_threshold = {}
+    for thr in thresholds:
+        c = event_based_counts(gt_df, merged[thr])
+        per_threshold[thr] = float(
+            np.mean([cc.f_measure for cc in c.values()])) if c else 0.0
+    pred_df = merged[thresholds[0]]
     counts = event_based_counts(gt_df, pred_df)
-    event_f1 = float(np.mean([c.f_measure for c in counts.values()])) \
-        if counts else 0.0
+    event_f1 = per_threshold[thresholds[0]]
     ct, psds_f1, per_class = compute_macro_f_score(pred_df, gt_df)
     log.info("event F1=%.4f  psds F1=%.4f", event_f1, psds_f1)
     log.info("\n%s", per_class_report(counts))
@@ -161,5 +180,8 @@ def evaluate_checkpoint(cfg: Config, loader: EvalLoader,
         pd.DataFrame(ct, index=classes, columns=classes).to_csv(
             confusion_csv)
 
-    return {"event_f1": event_f1, "psds_f1": psds_f1,
-            "per_class_f1": {k: c.f_measure for k, c in counts.items()}}
+    results = {"event_f1": event_f1, "psds_f1": psds_f1,
+               "per_class_f1": {k: c.f_measure for k, c in counts.items()}}
+    if len(thresholds) > 1:
+        results["event_f1_per_threshold"] = per_threshold
+    return results

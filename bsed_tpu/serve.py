@@ -235,9 +235,14 @@ def predict_long_recording(forward: Callable, audio, cfg: Config,
             f0 = int(round((s / sr) / sec_per_frame))
             acc[f0:f0 + frames_per_clip] += strong[j]
             cnt[f0:f0 + frames_per_clip] += 1.0
-    mask = cnt[:, 0] > 0
-    acc[mask] /= cnt[mask]
-    return acc[mask].astype(np.float32), sec_per_frame
+    covered = cnt[:, 0] > 0
+    last = int(np.nonzero(covered)[0][-1]) + 1
+    acc, cnt, covered = acc[:last], cnt[:last], covered[:last]
+    acc[covered] /= cnt[covered]
+    # frame index == global time index: interior frames no window covered
+    # (hop_seconds > clip length) stay ZERO posteriors — compacting them
+    # out would shift every later event's reported time earlier
+    return acc.astype(np.float32), sec_per_frame
 
 
 def make_sharded_forward(cfg: Config, modules: TrainModules, params: Dict,

@@ -130,8 +130,16 @@ def build_modules(cfg: Config) -> TrainModules:
     predictor = make_predictor_head(cfg)
     disc = _make_discriminator(cfg)
     rand_maps = None
-    if (_effective_da_mode(cfg) == "cdan" and cfg.da.level != "clip"
-            and cfg.da.randomized_dim > 0):
+    if _effective_da_mode(cfg) == "cdan" and cfg.da.level != "clip":
+        if cfg.da.randomized_dim <= 0:
+            # the un-randomized multilinear map at frame level would be
+            # (2·n_rnn_cell·n_frames)·nclass ≈ 3.2 M dims — the reference
+            # always randomizes here (randomized_dim=3130/8192,
+            # main_baseline.py:794-796, main_scmt_ada_weak.py:787-792)
+            raise ValueError(
+                "frame-level CDAN requires da.randomized_dim > 0 (the "
+                "full multilinear map over flattened frame features is "
+                "infeasibly large; the reference always randomizes)")
         feat_dim = 2 * cfg.model.n_rnn_cell * cfg.n_frames
         rand_maps = da_losses.make_randomized_maps(
             feat_dim, cfg.nclass, cfg.da.randomized_dim, seed=cfg.train.seed)
@@ -447,6 +455,15 @@ def make_train_step(modules: TrainModules,
             state, dl = adda_steps(state, x_syn, x_real, k_da)
             metrics["domain_loss"] = dl
 
+        if (mean_teacher or isp) and real_lin is None:
+            # fail with intent instead of an AttributeError inside vmap:
+            # the MT noise target and every ISP/SCT loss are defined over
+            # the REAL streams (main_baseline.py:229-277, 352-368)
+            raise ValueError(
+                "mean_teacher/isp presets need the real streams — build "
+                "the loader with weak + unlabeled datasets (batch carries "
+                "no 'real' key)")
+
         # ---- teacher inputs (noise in the LINEAR mel domain, then log —
         # transform order of get_transforms, Transforms.py:317)
         if mean_teacher:
@@ -537,6 +554,12 @@ def make_train_step(modules: TrainModules,
                     rs_strong, rf_strong, ss_strong, sf_strong = s_p[2:6]
                     rs_weak, rf_weak, ss_weak, sf_weak = w_p[2:6]
             else:
+                # NOTE: the syn forward runs (and its BatchNorm batch-stat
+                # update is kept) even when supervise_on == "real" — the
+                # ENA script also forwards the syn stream in train mode
+                # without using it in the loss (main_baseline_ena.py:338),
+                # so its BN running stats see syn statistics; skipping it
+                # here would diverge from the reference's training dynamics
                 syn_strong, syn_weak, syn_enc, stats = model_fwd(
                     params, stats, x_syn, k_s1)
                 if x_real is not None:
@@ -546,6 +569,12 @@ def make_train_step(modules: TrainModules,
             # supervised BCE (main_baseline.py:431-475 / _ena variant)
             if t.supervise_on == "real" and real_strong_target is not None:
                 weak_loss = bce(r_weak, real_strong_target.max(axis=-2))
+                if mean_teacher:
+                    # the ENA script's weak BCE is counted TWICE under MT:
+                    # the base term (main_baseline_ena.py:434) plus the
+                    # `if ema_model is not None` add of the SAME term
+                    # (:437) — an editing artifact, but live behavior
+                    weak_loss = 2.0 * weak_loss
                 strong_loss = bce(r_strong, real_strong_target)
             else:
                 weak_loss = bce(syn_weak, syn_target_weak)

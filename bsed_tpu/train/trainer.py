@@ -28,6 +28,7 @@ from bsed_tpu.data.pipeline import EvalLoader, ThreeStreamLoader
 from bsed_tpu.data.prefetch import prefetch
 from bsed_tpu.eval.decode import (decode_batch, durations_df,
                                   groundtruth_df_from_events,
+                                  gt_events_from_frame_targets,
                                   merge_prediction_dfs)
 from bsed_tpu.eval.psds import compute_macro_f_score
 from bsed_tpu.eval.sed_scores import event_based_f1
@@ -238,12 +239,8 @@ class Trainer:
             target = np.asarray(target)[:n_valid]
             if target.ndim == 3:
                 if true_events is None:
-                    for b, name in enumerate(names):
-                        events = self.encoder_codec.decode_strong(target[b])
-                        sec = self.cfg.model.pooling_time_ratio / (
-                            self.cfg.audio.sr / self.cfg.audio.hop_size)
-                        gt_events[name] = [(l, a * sec, b_ * sec)
-                                           for (l, a, b_) in events]
+                    gt_events.update(gt_events_from_frame_targets(
+                        target, names, self.encoder_codec, self.cfg))
                 tagging.update(weak, target.max(axis=1))
             else:
                 tagging.update(weak, target)

@@ -134,11 +134,19 @@ def convert_crnn(state: Mapping[str, np.ndarray], n_blocks: int = 7,
 
 
 def convert_predictor(state: Mapping[str, np.ndarray]) -> Dict:
-    params = {"dense": convert_dense(state["dense.weight"],
-                                     state["dense.bias"])}
-    if "dense_softmax.weight" in state:
-        params["dense_softmax"] = convert_dense(state["dense_softmax.weight"],
-                                                state["dense_softmax.bias"])
+    """Predictor head state_dict → flax params. Generic over the two
+    reference heads (both use plain ``nn.Linear`` leaves with matching
+    flax module names): Predictor's ``dense``(+``dense_softmax``)
+    (CRNN_GRL.py:430-460) and Predictor_2's ``dense1..dense4``
+    (+``dense_softmax``) (CRNN_GRL.py:391-428)."""
+    params = {}
+    for k in state:
+        if k.endswith(".weight") and "." not in k[:-len(".weight")]:
+            name = k[:-len(".weight")]
+            params[name] = convert_dense(state[k], state[f"{name}.bias"])
+    if not params:
+        raise ValueError(
+            f"no linear layers found in predictor state_dict: {list(state)}")
     return params
 
 
@@ -207,13 +215,19 @@ def export_crnn(params: Mapping, stats: Mapping, n_blocks: int = 7,
 
 
 def export_predictor(params: Mapping) -> Dict[str, np.ndarray]:
-    out = {"dense.weight": np.asarray(params["dense"]["kernel"]).T,
-           "dense.bias": np.asarray(params["dense"]["bias"])}
-    if "dense_softmax" in params:
-        out["dense_softmax.weight"] = np.asarray(
-            params["dense_softmax"]["kernel"]).T
-        out["dense_softmax.bias"] = np.asarray(
-            params["dense_softmax"]["bias"])
+    """Inverse of convert_predictor: generic over the Predictor and
+    Predictor_2 dense-layer trees (every leaf is a flax Dense named after
+    its reference ``nn.Linear``)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, leaf in params.items():
+        if not (isinstance(leaf, Mapping) and "kernel" in leaf):
+            raise ValueError(
+                f"predictor param {name!r} is not a Dense leaf; only the "
+                "'linear' and 'mlp' heads have a reference state_dict "
+                "layout (the CRNN_pred conv head has none — its reference "
+                "wiring is commented out)")
+        out[f"{name}.weight"] = np.asarray(leaf["kernel"]).T
+        out[f"{name}.bias"] = np.asarray(leaf["bias"])
     return out
 
 

@@ -119,3 +119,20 @@ def test_seeded_split_is_deterministic_and_proportioned():
     assert (w1, u1, v1) == (w2, u2, v2)
     assert len(v1) == 32 and len(w1) == 8 and len(u1) == 24
     assert set(w1) | set(u1) | set(v1) == set(files)
+
+
+def test_segment_annotations_drops_exact_boundary_offset_like_reference():
+    """Reference-pinned edge case: an event whose offset lands EXACTLY on a
+    segment boundary is dropped entirely — ``overlap`` only splits strict
+    straddlers (onset < t < offset, preprocess.py:51), and the segment
+    filter requires offset < t1 (preprocess.py:215), so (3.0, 10.0) passes
+    neither segment [0,10) nor [10,20). Events split by the boundary get
+    offset = t − 1e-6 and survive. This repo intentionally reproduces the
+    reference's behavior; do not 'fix' it without breaking parity."""
+    segs = segment_annotations([("A", 3.0, 10.0)], n_segments=2)
+    assert segs[0] == [] and segs[1] == []
+    # a strict straddler IS split and lands in both segments
+    segs = segment_annotations([("A", 3.0, 12.0)], n_segments=2)
+    assert len(segs[0]) == 1 and len(segs[1]) == 1
+    assert abs(segs[0][0][2] - (10.0 - 1e-6)) < 1e-9
+    assert segs[1][0][1:] == (0.0, 2.0)

@@ -90,3 +90,37 @@ def test_long_recording_inference():
     strong2, _ = predict_long_recording(forward, audio, cfg, batch_size=4,
                                         hop_seconds=1.0)
     assert np.isfinite(strong2).all()
+
+
+def test_long_recording_gaps_preserve_timeline():
+    """predict_long_recording with hop_seconds > clip length leaves
+    uncovered spans as ZERO posteriors instead of compacting them out —
+    compaction would shift every later event's reported time earlier."""
+    import numpy as np
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.serve import predict_long_recording
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    sr, clip_s = cfg.audio.sr, cfg.audio.max_len_seconds
+
+    def fake_forward(batch):
+        # per-clip posterior = that clip's mean |amplitude| on every frame
+        x = np.asarray(batch)
+        lvl = np.abs(x).mean(axis=1)
+        strong = np.tile(lvl[:, None, None], (1, cfg.n_frames, cfg.nclass))
+        return strong, strong.max(axis=1)
+
+    audio = np.zeros(int(12 * sr), np.float32)       # 12 s of silence...
+    audio[int(5.0 * sr):int(5.5 * sr)] = 1.0         # ...burst at t=5 s
+    # hop 4 s > 2 s clips: windows [0,2),[4,6),[8,10),[10,12) — gaps at
+    # [2,4) and [6,8)
+    strong, sec = predict_long_recording(fake_forward, audio, cfg,
+                                         hop_seconds=4.0)
+    t = lambda s: int(round(s / sec))
+    assert strong.shape[0] >= t(11.9)                # full timeline kept
+    assert strong[t(5.0), 0] > 0.1                   # burst at its TRUE time
+    assert strong[t(3.0), 0] == 0.0                  # gap frames zero
+    assert strong[t(7.0), 0] == 0.0
+    assert strong[t(1.0), 0] == 0.0                  # silent covered span

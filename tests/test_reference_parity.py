@@ -303,3 +303,46 @@ def test_nondefault_topology_reference_parity(ref_models, tmp_path, topo):
     cfg = get_config("baseline")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, **topo))
     _assert_parity(cfg, ckpt, crnn, predictor, batch=1)
+
+
+def test_predictor2_head_load_and_export_roundtrip(ref_models, tmp_path):
+    """The mlp head (Predictor_2, CRNN_GRL.py:391-428) must round-trip
+    through both directions of the checkpoint contract: a REAL reference
+    Predictor_2 state_dict loads via convert_predictor and reproduces the
+    torch posteriors; export_predictor writes a state_dict that strict-
+    loads back into the reference class."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from bsed_tpu.config import get_config
+    from bsed_tpu.train.steps import build_modules, make_predict_fn
+    from bsed_tpu.utils.torch_compat import (convert_predictor,
+                                             export_predictor)
+
+    grl_mod, _ = ref_models
+    torch.manual_seed(21)
+    crnn = grl_mod.CRNN(**CRNN_KWARGS).eval()
+    ref_pred = grl_mod.Predictor_2(nclass=20, attention=True,
+                                   n_RNN_cell=128).eval()
+    ckpt = str(tmp_path / "baseline_best")
+    _save_ckpt(ckpt, crnn, ref_pred)
+
+    cfg = get_config("scmt_ada_weak_separate_2crnn")
+    assert cfg.model.predictor_head == "mlp"
+    cfg = get_config("baseline").replace(
+        model=dataclasses.replace(get_config("baseline").model,
+                                  predictor_head="mlp"))
+    _assert_parity(cfg, ckpt, crnn, ref_pred, batch=1)
+
+    # export direction: flax params -> reference state_dict, strict load
+    p_params = convert_predictor(
+        {k: v.numpy() for k, v in ref_pred.state_dict().items()})
+    sd = export_predictor(p_params)
+    ref2 = grl_mod.Predictor_2(nclass=20, attention=True, n_RNN_cell=128)
+    ref2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}, strict=True)
+    x = torch.randn(1, 313, 256)
+    with torch.no_grad():
+        s1, w1 = ref_pred(x)
+        s2, w2 = ref2.eval()(x)
+    assert torch.allclose(s1, s2) and torch.allclose(w1, w2)

@@ -204,3 +204,47 @@ def test_predict_fn_shapes_and_determinism():
     assert w1.shape == (4, cfg.nclass)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     assert ((np.asarray(s1) >= 0) & (np.asarray(s1) <= 1)).all()
+
+
+def test_frame_cdan_requires_randomized_dim():
+    """Frame-level CDAN with randomized_dim=0 must fail at build time with
+    a clear error (the un-randomized multilinear map over flattened frame
+    features would be ~3.2M dims; the reference always randomizes —
+    main_baseline.py:794-796)."""
+    import dataclasses
+
+    import pytest
+    from bsed_tpu.config import get_config
+    from bsed_tpu.train.steps import build_modules
+
+    cfg = get_config("baseline_adaptation")
+    assert cfg.da.mode == "cdan_frame" or cfg.da.mode == "cdan"
+    cfg = cfg.replace(da=dataclasses.replace(cfg.da, mode="cdan",
+                                             level="frame",
+                                             randomized_dim=0))
+    with pytest.raises(ValueError, match="randomized_dim"):
+        build_modules(cfg)
+
+
+def test_isp_without_real_streams_raises_clearly():
+    """An ISP/MT preset stepped on a syn-only batch (no weak/unlabeled
+    datasets) must raise a clear ValueError at trace time, not an
+    AttributeError inside vmap."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    cfg = get_config("baseline_mt_isp").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    step = make_train_step(modules, steps_per_epoch=2)
+    batch = {"syn": jnp.zeros((4, cfg.audio.max_frames, cfg.audio.n_mels)),
+             "syn_strong": jnp.zeros((4, cfg.n_frames, cfg.nclass))}
+    with pytest.raises(ValueError, match="real streams"):
+        step(state, batch, jax.random.key(1), jnp.asarray(0.0))
