@@ -141,6 +141,17 @@ def _dataset_loaders(cfg, args):
 def cmd_train(args):
     from bsed_tpu.train.trainer import Trainer
 
+    if args.resume and args.start_epoch == 0:
+        # auto-resume: continue after the newest epoch checkpoint in the
+        # store (the productionized version of the reference's recovery,
+        # which is editing start_epoch in-source — main_baseline.py:649)
+        from bsed_tpu.utils.checkpoint import CheckpointManager
+        if args.store_dir and os.path.isdir(args.store_dir):
+            latest = CheckpointManager(args.store_dir).latest_epoch()
+            if latest is not None:
+                args.start_epoch = latest + 1
+                print(f"# --resume: continuing from epoch {args.start_epoch}"
+                      f" (newest checkpoint epoch_{latest})")
     cfg = _apply_flags(
         _resolve_config(args, allow_store=args.start_epoch > 0), args)
     train_loader, val_loader, syn_eval = _dataset_loaders(cfg, args)
@@ -499,6 +510,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--start-epoch", type=int, default=0)
+    sp.add_argument("--resume", action="store_true",
+                    help="continue after the newest epoch checkpoint in "
+                         "--store-dir (no-op when the store is empty)")
     sp.add_argument("--eval-syn", action="store_true")
     sp.add_argument("--tensorboard", action="store_true")
     sp.add_argument("--profile-dir", default=None,

@@ -215,3 +215,23 @@ def test_eval_self_describing_no_preset(data_root, capsys):
     out_preset = capsys.readouterr().out.strip().splitlines()[-1]
     assert out_no_preset == out_preset
     assert "event_f1" in out_no_preset
+
+
+@pytest.mark.slow
+def test_train_auto_resume_flag(data_root, tmp_path, capsys):
+    """``cli train --resume`` continues after the newest epoch checkpoint
+    (the productionized form of the reference's manual start_epoch edit,
+    main_baseline.py:649): a fresh store trains from epoch 0; rerunning
+    with --resume picks up at latest+1 and appends to the history."""
+    store = str(tmp_path / "resume_run")
+    main(["train", "--tiny-audio", "--data-root", data_root,
+          "--preset", "baseline", "--epochs", "2", "-s", "8",
+          "--store-dir", store])
+    assert os.path.isdir(os.path.join(store, "model", "epoch_1"))
+
+    main(["train", "--tiny-audio", "--data-root", data_root,
+          "--epochs", "3", "-s", "8", "--store-dir", store, "--resume"])
+    out = capsys.readouterr().out
+    assert "continuing from epoch 2" in out
+    # the resumed epoch ran and produced its checkpoint
+    assert os.path.isdir(os.path.join(store, "model", "epoch_2"))
