@@ -9,6 +9,15 @@ installed here, so the CPU baseline is the torch equivalent measured live:
 torch.stft (librosa-identical config) + mel matmul + log + torch CRNN
 forward, on CPU. The TPU path is this framework's jitted
 frame→rFFT→mel→dB→CRNN→predictor program on raw audio.
+
+MEASUREMENT METHODOLOGY (round 3, docs/PERF.md "Honest barriers"): on the
+tunneled axon backend ``jax.block_until_ready`` does NOT reliably block on
+train-step outputs, and ``np.asarray(big_output)`` conflates execution with
+a ~180 MB/s tunnel transfer. Every timing window here therefore ends with a
+SINGLE-ELEMENT fetch (``_fetch_scalar``) — a hard execution barrier that
+transfers 4 bytes. The round-1/2 train-side numbers measured with
+block_until_ready were dispatch-only artifacts (~100× optimistic); serving
+numbers were unaffected (re-measured identical under both barriers).
 """
 import json
 import sys
@@ -19,6 +28,13 @@ import numpy as np
 
 CLIP_SAMPLES = 320000   # 10 s @ 32 kHz
 N_MELS = 128
+
+
+def _fetch_scalar(x) -> float:
+    """Hard execution barrier: materialize ONE element on the host."""
+    import jax
+    return float(jax.device_get(x[(0,) * getattr(x, "ndim", 0)]
+                                if getattr(x, "ndim", 0) else x))
 
 
 def bench_tpu(batch_size: int = 64, iters: int = 10):
@@ -38,7 +54,7 @@ def bench_tpu(batch_size: int = 64, iters: int = 10):
     try:
         compiled = fn.lower(audio).compile()
         out = compiled(audio)
-        jax.block_until_ready(out)
+        _fetch_scalar(out[0])
     except Exception as e:
         print(f"# kernel serving path failed ({type(e).__name__}: {e}); "
               "falling back to dense mel", file=sys.stderr)
@@ -46,21 +62,23 @@ def bench_tpu(batch_size: int = 64, iters: int = 10):
         fn = jax.jit(forward)
         compiled = fn.lower(audio).compile()
         out = compiled(audio)
-        jax.block_until_ready(out)
+        _fetch_scalar(out[0])
 
     # distinct input per iteration: measured identical to the same-args
     # loop (36.6 vs 36.7 ms/iter), kept as insurance against any
     # same-value result caching in experimental backends
     audios = [audio + jnp.float32(i + 1) * 1e-6 for i in range(iters)]
-    jax.block_until_ready(audios)
+    _fetch_scalar(audios[-1])
 
-    # fastest-of-3 windows: robust to transient host-core contention
+    # fastest-of-3 windows: robust to transient host-core contention.
+    # Barrier = single-element fetch of the LAST iteration's posterior
+    # (all iterations chain through the pipelined dispatch queue).
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for a in audios:
             out = compiled(a)
-        jax.block_until_ready(out)
+        _fetch_scalar(out[0])
         dt = min(dt, time.perf_counter() - t0)
 
     # logical-FLOP utilization from XLA's own cost model (v5e bf16 peak
@@ -111,17 +129,18 @@ def bench_train(iters: int = 20) -> dict:
             (bs, cfg.nclass)) > 0.8).astype(np.float32)),
     }
     epoch = jnp.asarray(0.0)
-    # keys made OUTSIDE the timed loop: under the tunnel every extra tiny
-    # dispatch costs a ~27 ms round trip and can break step pipelining.
-    # Timed as fastest-of-4 windows: the measurement is host-dispatch
-    # sensitive, so a busy host core inflates the mean but not the best
-    # window.
+    # keys made OUTSIDE the timed loop; rbg = the production Trainer's
+    # training-stream PRNG (TrainConfig.prng_impl — dropout bit-generation
+    # is a real compute term, threefry costs +~45 ms/step).
+    # Timed as fastest-of-4 windows, each ended by a SCALAR fetch of the
+    # last step's loss (hard barrier — see module docstring).
     windows = 4
-    keys = list(jax.random.split(jax.random.key(1), windows * iters + 3))
-    jax.block_until_ready(keys)
+    keys = list(jax.random.split(
+        jax.random.key(1, impl=cfg.train.prng_impl),
+        windows * iters + 3))
     for i in range(3):  # compile + pipeline warmup
         state, m = step(state, batch, keys[i], epoch)
-    jax.block_until_ready(m["loss"])
+    _fetch_scalar(m["loss"])
     best = float("inf")
     k = 3
     for _ in range(windows):
@@ -129,7 +148,7 @@ def bench_train(iters: int = 20) -> dict:
         for _ in range(iters):
             state, m = step(state, batch, keys[k], epoch)
             k += 1
-        jax.block_until_ready(m["loss"])
+        _fetch_scalar(m["loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
     return {"train_ms_per_step": round(best * 1e3, 2),
             "train_clips_per_s": round(2 * bs / best, 1)}
@@ -166,12 +185,12 @@ def bench_train_e2e() -> dict:
     # one key + one epoch scalar per epoch — the step folds state.step into
     # the key itself, so the loop issues exactly two dispatches per step
     # (batch assembly + train step), like Trainer.train_epoch
-    keys = list(jax.random.split(jax.random.key(1), 3))
-    epochs = [jnp.asarray(float(e)) for e in range(3)]
-    jax.block_until_ready(keys)
+    keys = list(jax.random.split(
+        jax.random.key(1, impl=cfg.train.prng_impl), 6))
+    epochs = [jnp.asarray(float(e)) for e in range(6)]
     for batch in loader.epoch(0):  # compile + array upload
         state, m = step(state, batch, keys[0], epochs[0])
-    jax.block_until_ready(m["loss"])
+    _fetch_scalar(m["loss"])
     best = float("inf")
     for e in (1, 2):
         n = 0
@@ -179,11 +198,31 @@ def bench_train_e2e() -> dict:
         for batch in prefetch(loader.epoch(e), depth=2):
             state, m = step(state, batch, keys[e], epochs[e])
             n += 1
-        jax.block_until_ready(m["loss"])
+        _fetch_scalar(m["loss"])
         best = min(best, (time.perf_counter() - t0) / n)
     bs = 2 * cfg.train.batch_size
-    return {"train_e2e_ms_per_step": round(best * 1e3, 2),
-            "train_e2e_clips_per_s": round(bs / best, 1)}
+    out = {"train_e2e_ms_per_step": round(best * 1e3, 2),
+           "train_e2e_clips_per_s": round(bs / best, 1)}
+
+    # scanned-epoch mode (Trainer's default on single-chip device-resident
+    # data): the whole epoch as ONE lax.scan dispatch — removes the
+    # per-step dispatch overhead entirely
+    from bsed_tpu.train.steps import make_epoch_runner
+    runner = make_epoch_runner(modules, steps_per_epoch=len(loader))
+    arrays, idx = loader.epoch_arrays(3)
+    state, ms = runner(state, arrays, idx, keys[3], epochs[3])
+    _fetch_scalar(ms["loss"])
+    best_s = float("inf")
+    for e in (4, 5):
+        arrays, idx = loader.epoch_arrays(e)
+        n = len(idx["syn"])
+        t0 = time.perf_counter()
+        state, ms = runner(state, arrays, idx, keys[e], epochs[e])
+        _fetch_scalar(ms["loss"])
+        best_s = min(best_s, (time.perf_counter() - t0) / n)
+    out["train_scan_ms_per_step"] = round(best_s * 1e3, 2)
+    out["train_scan_clips_per_s"] = round(bs / best_s, 1)
+    return out
 
 
 def bench_cpu_baseline(n_clips: int = 4) -> float:

@@ -161,7 +161,8 @@ def cmd_train(args):
                       use_tensorboard=args.tensorboard,
                       profile_dir=args.profile_dir,
                       grad_flow=args.grad_flow,
-                      mesh=args.mesh)
+                      mesh=args.mesh,
+                      scan_epoch=args.scan_epoch)
     best = trainer.fit(n_epochs=args.epochs, start_epoch=args.start_epoch)
     print(best)
 
@@ -526,6 +527,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="'auto' (default): on a multi-chip host train "
                          "data-parallel over the largest batch-divisible "
                          "device mesh; 'off': force single-device")
+    sp.add_argument("--scan-epoch", choices=("auto", "off"), default="auto",
+                    help="'auto' (default): when the dataset is device-"
+                         "resident and no mesh is in play, run each epoch "
+                         "as ONE lax.scan dispatch; 'off': per-step loop "
+                         "(per-step host visibility)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")

@@ -64,6 +64,10 @@ class ModelConfig:
     n_rnn_cell: int = 128
     n_layers_rnn: int = 2
     dropout_recurrent: float = 0.0
+    # lax.scan unroll factor of the GRU recurrence (numerics-neutral).
+    # The 313-step sequential scan is the train step's real latency
+    # roofline on a tunneled v5e, so the unroll is a first-class knob.
+    rnn_unroll: int = 8
     attention: bool = True
     use_fpn: bool = False
     # prediction head over the (B, 313, 256) encoding:
@@ -122,6 +126,14 @@ class TrainConfig:
     """Optimization / semi-supervised schedule (config.py:83-100,
     main_baseline.py:53-105,168-598)."""
     batch_size: int = 12              # SYN stream; real weak/unlabeled get bs/2 each
+    # PRNG implementation for the TRAINING randomness stream (dropout
+    # masks, teacher noise, ISP shifts, mixup λ): "rbg" uses the TPU
+    # hardware RNG — measured 1.5× faster per train step than threefry
+    # (dropout bit-generation over ~100M conv activations is a real
+    # compute term) with statistically equivalent masks. "threefry" gives
+    # bit-reproducible draws across backends. Parameter INIT always uses
+    # threefry regardless, so checkpoints/init parity never depend on this.
+    prng_impl: str = "rbg"
     n_epoch: int = 300
     n_epoch_rampup: int = 50
     n_epoch_rampdown: int = 80

@@ -17,7 +17,7 @@ Batches are dicts of stacked numpy arrays ready for the jitted step:
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -51,6 +51,24 @@ def _real_stream_batch(wf, wt, uf, ut, wi, ui, wt_rank: int, ut_rank: int):
     out["real_weak"] = _cat(w_red, u_red)
     if wt_rank == 3 and ut_rank == 3:
         out["real_strong"] = _cat(w_weak, u_weak)
+    return out
+
+
+def gather_batch(arrays: Dict[str, Any], ids: Dict[str, Any]
+                 ) -> Dict[str, Any]:
+    """Assemble one training batch from device-resident dataset arrays by
+    index — the pure-function core of ``_assemble_batch``, traceable inside
+    ``lax.scan`` (steps.make_epoch_runner). ``arrays`` holds the contiguous
+    (features, targets) pairs per stream; ``ids`` the per-batch index
+    vectors."""
+    out = {"syn": arrays["syn_f"][ids["syn"]],
+           "syn_strong": arrays["syn_t"][ids["syn"]]}
+    if "weak_f" in arrays:
+        out.update(_real_stream_batch(
+            arrays["weak_f"], arrays["weak_t"],
+            arrays["unlab_f"], arrays["unlab_t"],
+            ids["weak"], ids["unlab"],
+            arrays["weak_t"].ndim, arrays["unlab_t"].ndim))
     return out
 
 
@@ -170,6 +188,54 @@ class ThreeStreamLoader:
             return nbytes < 4 * 1024 ** 3
         except Exception:
             return False
+
+    def epoch_arrays(self, epoch_idx: int
+                     ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
+        """(arrays, idx) for the scanned-epoch runner
+        (steps.make_epoch_runner), or None when any stream lacks the
+        device-resident fast path.
+
+        ``arrays``: the streams' contiguous device arrays; ``idx``: stacked
+        per-batch index matrices (n_steps, per_batch) drawn with EXACTLY
+        the rng consumption order of ``epoch()`` (syn permutation first,
+        then interleaved weak/unlab stream pulls), so the two paths see
+        identical sample schedules."""
+        syn_arr = self._arrays_of(self.syn)
+        if syn_arr is None or isinstance(syn_arr[0], np.ndarray):
+            return None
+        has_real = self.weak is not None and self.unlab is not None
+        if (self.weak is not None) != (self.unlab is not None):
+            return None
+        weak_arr = unlab_arr = None
+        if has_real:
+            weak_arr = self._arrays_of(self.weak)
+            unlab_arr = self._arrays_of(self.unlab)
+            if (weak_arr is None or unlab_arr is None
+                    or isinstance(weak_arr[0], np.ndarray)
+                    or isinstance(unlab_arr[0], np.ndarray)):
+                return None
+
+        rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
+        syn_idx = self._host_indices(len(self.syn))
+        order = rng.permutation(len(syn_idx)) if self.shuffle \
+            else np.arange(len(syn_idx))
+        n = len(self)
+        ids_syn = np.stack([
+            syn_idx[order[b * self.batch_size:(b + 1) * self.batch_size]]
+            for b in range(n)])
+        arrays = {"syn_f": syn_arr[0], "syn_t": syn_arr[1]}
+        idx = {"syn": ids_syn}
+        if has_real:
+            weak_stream = self._stream(self.weak, self.half, rng)
+            unlab_stream = self._stream(self.unlab, self.half, rng)
+            ids_w, ids_u = [], []
+            for _ in range(n):
+                ids_w.append(next(weak_stream))
+                ids_u.append(next(unlab_stream))
+            arrays.update(weak_f=weak_arr[0], weak_t=weak_arr[1],
+                          unlab_f=unlab_arr[0], unlab_t=unlab_arr[1])
+            idx.update(weak=np.stack(ids_w), unlab=np.stack(ids_u))
+        return arrays, idx
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)

@@ -48,6 +48,7 @@ class CRNN(nn.Module):
         x = jnp.squeeze(x, axis=2)
         x = BidirectionalGRU(self.cfg.n_rnn_cell, self.cfg.n_layers_rnn,
                              self.cfg.dropout_recurrent,
+                             unroll=self.cfg.rnn_unroll,
                              dtype=_cnn_kwargs(self.cfg)["dtype"],
                              name="rnn")(x, train=train)
         x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
@@ -72,6 +73,7 @@ class CRNNFPN(nn.Module):
             h = jnp.squeeze(h, axis=2)
             h = BidirectionalGRU(cfg.n_rnn_cell, cfg.n_layers_rnn,
                                  cfg.dropout_recurrent,
+                                 unroll=cfg.rnn_unroll,
                                  dtype=_cnn_kwargs(cfg)["dtype"],
                                  name=name)(h, train=train)
             return nn.Dropout(cfg.dropout, deterministic=not train)(h)

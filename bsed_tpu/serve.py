@@ -138,7 +138,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
         rest_stats = {k: v for k, v in enc_stats["cnn"].items()
                       if int(k.replace("block", "")) >= n_folded}
         rnn = BidirectionalGRU(m.n_rnn_cell, m.n_layers_rnn,
-                               m.dropout_recurrent, dtype=dtype)
+                               m.dropout_recurrent, unroll=m.rnn_unroll,
+                               dtype=dtype)
 
         def forward(audio):
             mel = fe._forward(audio, log=True)[..., None]
@@ -165,7 +166,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
 
         from bsed_tpu.models.rnn import BidirectionalGRU
         rnn = BidirectionalGRU(cfg.model.n_rnn_cell, cfg.model.n_layers_rnn,
-                               cfg.model.dropout_recurrent)
+                               cfg.model.dropout_recurrent,
+                               unroll=cfg.model.rnn_unroll)
 
         def forward(audio):
             mel = fe._forward(audio, log=True)[..., None]

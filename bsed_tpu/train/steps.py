@@ -217,7 +217,8 @@ def _log_input(linear_mel: jnp.ndarray) -> jnp.ndarray:
 
 def make_train_step(modules: TrainModules,
                     steps_per_epoch: Optional[int] = None,
-                    grad_flow: bool = False) -> Callable:
+                    grad_flow: bool = False,
+                    jit: bool = True) -> Callable:
     """Build the jitted step. ``steps_per_epoch`` (= len(syn_loader)) is
     required when ``cfg.train.cost_ramp == "exp_step"``: that lineage's
     consistency cost ramps with exp_rampup(global_step,
@@ -723,7 +724,46 @@ def make_train_step(modules: TrainModules,
                                   ema_batch_stats=ema_stats)
         return new_state, metrics
 
+    if not jit:
+        # raw traceable body — make_epoch_runner scans it over a whole
+        # epoch's worth of device-resident batches
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_epoch_runner(modules: TrainModules,
+                      steps_per_epoch: Optional[int] = None,
+                      grad_flow: bool = False) -> Callable:
+    """ONE-dispatch epoch: ``lax.scan`` of the train step over every batch
+    of a device-resident epoch.
+
+    The per-step Python loop costs one dispatch for batch assembly plus one
+    for the step (~0.2 ms/step of un-overlapped host time against a ~1.1 ms
+    step on v5e). With the three-stream dataset arrays resident in HBM the
+    whole epoch is a closed program: the scan body gathers batch b by
+    index, runs the identical step body, and carries the train state — the
+    host dispatches ONCE per epoch and fetches the stacked (n_steps, ...)
+    metrics, which is exactly the shape Trainer's every-step meters/NaN
+    guard consume. Numerics: the scan body is the same traced step, so
+    results match the loop path (XLA fusion may reassociate within fp
+    tolerance).
+
+    Signature: ``run_epoch(state, arrays, idx, rng, epoch) ->
+    (state, stacked_metrics)`` where ``arrays``/``idx`` come from
+    ``ThreeStreamLoader.epoch_arrays``.
+    """
+    from bsed_tpu.data.pipeline import gather_batch
+
+    step_body = make_train_step(modules, steps_per_epoch=steps_per_epoch,
+                                grad_flow=grad_flow, jit=False)
+
+    def run_epoch(state, arrays, idx, rng, epoch):
+        def body(carry, ids):
+            batch = gather_batch(arrays, ids)
+            return step_body(carry, batch, rng, epoch)
+        return jax.lax.scan(body, state, idx)
+
+    return jax.jit(run_epoch, donate_argnums=(0,))
 
 
 def make_predict_fn(modules: TrainModules) -> Callable:

@@ -35,8 +35,8 @@ from bsed_tpu.eval.sed_scores import event_based_f1
 from bsed_tpu.eval.tagging import TaggingF1Accumulator
 from bsed_tpu.parallel.mesh import auto_data_mesh, replicate, shard_batch
 from bsed_tpu.train.steps import (TrainModules, build_modules,
-                                  create_train_state, make_predict_fn,
-                                  make_train_step)
+                                  create_train_state, make_epoch_runner,
+                                  make_predict_fn, make_train_step)
 from bsed_tpu.utils.checkpoint import CheckpointManager
 from bsed_tpu.utils.logger import create_logger
 from bsed_tpu.utils.meters import AverageMeterSet, EarlyStopping, SaveBest
@@ -49,7 +49,8 @@ class Trainer:
                  store_dir: Optional[str] = None,
                  use_tensorboard: bool = False,
                  profile_dir: Optional[str] = None,
-                 mesh="auto", grad_flow: bool = False):
+                 mesh="auto", grad_flow: bool = False,
+                 scan_epoch: str = "auto"):
         self.cfg = cfg
         # grad_flow: per-parameter mean-|grad| in the step metrics +
         # gradient_flow.png per epoch (plot_grad_flow, main_baseline.py:108)
@@ -70,8 +71,13 @@ class Trainer:
             pooling_time_ratio=cfg.model.pooling_time_ratio)
 
         self.modules: TrainModules = build_modules(cfg)
-        self.rng = jax.random.key(cfg.train.seed)
-        self.rng, init_rng = jax.random.split(self.rng)
+        # param init stays threefry (bit-stable across configs); the
+        # per-epoch training stream (dropout/noise/shifts/mixup) uses
+        # cfg.train.prng_impl — "rbg" = TPU hardware RNG, 1.5× faster
+        # per step (see TrainConfig.prng_impl)
+        init_rng = jax.random.key(cfg.train.seed)
+        self.rng = jax.random.key(cfg.train.seed,
+                                  impl=cfg.train.prng_impl)
         self.state = create_train_state(cfg, self.modules, init_rng)
         # SPMD data parallelism (SURVEY §2.3): on a multi-chip host the
         # trainer transparently builds a 1-D data mesh, replicates the train
@@ -91,6 +97,14 @@ class Trainer:
         self.train_step = make_train_step(
             self.modules, steps_per_epoch=len(train_loader),
             grad_flow=grad_flow)
+        # scanned-epoch mode: when the dataset arrays are device-resident
+        # and no multi-chip mesh is in play, the whole epoch runs as ONE
+        # lax.scan dispatch (make_epoch_runner) instead of two dispatches
+        # per step — "auto" enables it opportunistically per epoch;
+        # "off" forces the loop path (e.g. when per-step host visibility
+        # is wanted while debugging)
+        self.scan_epoch = scan_epoch
+        self._epoch_runner = None
         self.predict = make_predict_fn(self.modules)
         self.saver = SaveBest("sup")
         self.early_stopping = (
@@ -138,10 +152,60 @@ class Trainer:
             restored = replicate(self.mesh, restored)
         self.state = restored
 
+    def _sink_metrics(self, meters: AverageMeterSet, stacked: Dict,
+                      base_step: int, first_step: int,
+                      last_step: int) -> None:
+        """Feed a stacked (n, ...) metrics dict into the epoch meters, the
+        loss-explosion guard, and (step-indexed) TensorBoard."""
+        for k, vals in stacked.items():
+            assert np.isfinite(vals).all() and (vals < 1e5).all(), \
+                f"Loss explosion in {k} within steps " \
+                f"{first_step}..{last_step}: {vals}"
+            for i, v in enumerate(vals):
+                meters.update(k, float(v))
+                if self.writer is not None:
+                    self.writer.add_scalar(k, float(v), base_step + 1 + i)
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         meters = AverageMeterSet()
         start = time.time()
+        # ONE key + ONE epoch scalar per epoch: the step folds state.step
+        # into the key itself, so the loop body issues no per-step host→
+        # device transfers beyond the batch (tunnel dispatch economy)
+        self.rng, epoch_rng = jax.random.split(self.rng)
+        epoch_arr = jnp.asarray(epoch, jnp.float32)
+
+        # scanned-epoch fast path: the whole epoch as ONE lax.scan dispatch
+        # over the device-resident dataset arrays (same traced step body —
+        # identical schedule and, up to XLA reassociation, identical
+        # numerics; the NaN guard surfaces at epoch end instead of ≤9
+        # steps late)
+        ea = (self.train_loader.epoch_arrays(epoch)
+              if self.scan_epoch != "off" and self.mesh is None
+              and hasattr(self.train_loader, "epoch_arrays") else None)
+        if ea is not None:
+            arrays, idx = ea
+            if self._epoch_runner is None:
+                self._epoch_runner = make_epoch_runner(
+                    self.modules, steps_per_epoch=len(self.train_loader),
+                    grad_flow=self.grad_flow)
+            self.state, metrics = self._epoch_runner(
+                self.state, arrays, idx, epoch_rng, epoch_arr)
+            stacked = {k: np.asarray(v) for k, v in metrics.items()}
+            n_steps = len(idx["syn"])
+            self._sink_metrics(meters, stacked,
+                               int(self.state.step) - n_steps, 1, n_steps)
+            self.last_meters = meters
+            avgs = meters.averages()
+            if self.grad_flow:
+                from bsed_tpu.utils.profiling import plot_grad_flow
+                plot_grad_flow(avgs, os.path.join(self.store_dir,
+                                                  "gradient_flow.png"))
+            self.log.info("Epoch %d: %d steps in %.1fs (scanned)  %s",
+                          epoch, n_steps, time.time() - start, meters)
+            return avgs
+
         n_steps = 0
         # device-side metric history: the host syncs only every 10th step
         # (to keep dispatch pipelined) but EVERY step's full metrics dict is
@@ -156,11 +220,6 @@ class Trainer:
             # the consumer's step dispatch
             mesh = self.mesh
             batches = (shard_batch(mesh, b) for b in batches)
-        # ONE key + ONE epoch scalar per epoch: the step folds state.step
-        # into the key itself, so the loop body issues no per-step host→
-        # device transfers beyond the batch (tunnel dispatch economy)
-        self.rng, epoch_rng = jax.random.split(self.rng)
-        epoch_arr = jnp.asarray(epoch, jnp.float32)
         for batch in prefetch(batches, depth=2):
             self.state, metrics = self.train_step(
                 self.state, batch, epoch_rng, epoch_arr)
@@ -170,16 +229,10 @@ class Trainer:
                 stacked = {k: np.asarray(jnp.stack([m[k] for m in pending]))
                            for k in pending[0]}
                 base_step = int(self.state.step) - len(pending)
+                n_pend = len(pending)
                 pending = []
-                for k, vals in stacked.items():
-                    assert np.isfinite(vals).all() and (vals < 1e5).all(), \
-                        f"Loss explosion in {k} within steps " \
-                        f"{n_steps - len(vals) + 1}..{n_steps}: {vals}"
-                    for i, v in enumerate(vals):
-                        meters.update(k, float(v))
-                        if self.writer is not None:
-                            self.writer.add_scalar(k, float(v),
-                                                   base_step + 1 + i)
+                self._sink_metrics(meters, stacked, base_step,
+                                   n_steps - n_pend + 1, n_steps)
         self.last_meters = meters   # exposed for tests/inspection
         avgs = meters.averages()
         if self.grad_flow:

@@ -16,7 +16,8 @@ SMALL_AUDIO = AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0)
 
 
 def make_trainer(tmp_path, preset="baseline", n_items=16, batch=4,
-                 mesh_override="auto", use_tensorboard=False, **over):
+                 mesh_override="auto", use_tensorboard=False,
+                 scan_epoch="off", **over):
     cfg = get_config(preset, **over).replace(audio=SMALL_AUDIO)
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "batch_size": batch}))
@@ -29,7 +30,7 @@ def make_trainer(tmp_path, preset="baseline", n_items=16, batch=4,
     val_loader = EvalLoader(val, batch_size=batch)
     return Trainer(cfg, loader, val_loader=val_loader,
                    store_dir=str(tmp_path / "run"), mesh=mesh_override,
-                   use_tensorboard=use_tensorboard)
+                   use_tensorboard=use_tensorboard, scan_epoch=scan_epoch)
 
 
 def test_epoch_meters_cover_every_step(tmp_path):
@@ -218,3 +219,50 @@ def test_loader_arrayed_real_with_itemized_syn():
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]),
                                           np.asarray(b[k]))
+
+
+def test_scanned_epoch_matches_loop_path(tmp_path):
+    """The scanned-epoch fast path (make_epoch_runner: one lax.scan
+    dispatch over device-resident batches) must reproduce the per-step
+    loop path: identical sample schedule (epoch_arrays pins the rng
+    consumption order of epoch()) and matching losses/params up to XLA
+    reassociation."""
+    import jax
+    import numpy as np
+
+    def build(scan):
+        t = make_trainer(tmp_path / f"scan_{scan}", preset="baseline_mt_isp",
+                         n_items=16, batch=4, mesh_override="off",
+                         scan_epoch=scan)
+        # force the device-resident fast path on the CPU test backend
+        t.train_loader.device_resident = True
+        return t
+
+    t_loop = build("off")
+    t_scan = build("auto")
+    # same schedule: epoch_arrays' index matrices == the batches epoch()
+    # yields
+    ea = t_scan.train_loader.epoch_arrays(0)
+    assert ea is not None
+    _, idx = ea
+    loop_batches = list(t_loop.train_loader.epoch(0))
+    assert len(loop_batches) == len(idx["syn"])
+    for b, batch in enumerate(loop_batches):
+        feats = np.asarray(t_scan.train_loader._arrays_of(
+            t_scan.train_loader.syn)[0])[idx["syn"][b]]
+        np.testing.assert_array_equal(np.asarray(batch["syn"]), feats)
+
+    m_loop = t_loop.train_epoch(0)
+    m_scan = t_scan.train_epoch(0)
+    assert int(t_loop.state.step) == int(t_scan.state.step)
+    assert m_loop.keys() == m_scan.keys()
+    for k in m_loop:
+        np.testing.assert_allclose(m_loop[k], m_scan[k], rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    # full-coverage meters in scan mode too
+    assert t_scan.last_meters.meters["loss"].count == len(idx["syn"])
+    p_loop = jax.tree.leaves(t_loop.state.params)
+    p_scan = jax.tree.leaves(t_scan.state.params)
+    for a, b in zip(p_loop, p_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
