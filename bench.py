@@ -110,7 +110,8 @@ def bench_train(iters: int = 20) -> dict:
 
     cfg = get_config("baseline_mt_isp")
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16",
+                                  folded_train_stem=True),
         train=dataclasses.replace(cfg.train, fused_streams=True))
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))
@@ -171,7 +172,8 @@ def bench_train_e2e() -> dict:
 
     cfg = get_config("baseline_mt_isp")
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16",
+                                  folded_train_stem=True),
         train=dataclasses.replace(cfg.train, fused_streams=True))
     modules = build_modules(cfg)
     state = create_train_state(cfg, modules, jax.random.key(0))

@@ -82,6 +82,13 @@ class ModelConfig:
     # "bfloat16" (~1.6x faster conv stack on v5e; ~1e-2 activation error —
     # fine for training/serving throughput, not for the 1e-3 parity gate)
     compute_dtype: str = "float32"
+    # TRAIN-mode folded-frequency stem (ops/folded_stem.py
+    # make_folded_train_stem): run the leading conv blocks with mel bins
+    # packed into the lane dim during TRAINING too — same parameter tree,
+    # grouped BatchNorm batch stats, iid dropout on the folded layout.
+    # Exact up to fp reassociation (tests/test_folded_stem.py), so opt-in
+    # like fused_streams: OFF for bit-parity training, ON for throughput.
+    folded_train_stem: bool = False
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -175,3 +175,159 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
         return x
 
     return stem, n_folded
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode folded stem: the same algebraic re-layout, but differentiable
+# and consuming the standard flax parameter tree directly — BatchNorm runs
+# in batch-stats mode with the per-ORIGINAL-channel reduction grouped over
+# the fold copies, and dropout draws iid masks on the folded layout. Opt-in
+# perf configuration (ModelConfig.folded_train_stem), like fused_streams:
+# exact math up to fp reassociation (pinned by tests/test_folded_stem.py),
+# but not bit-identical to the unfolded path, so OFF for parity training.
+
+def _fold_kernel_jnp(kernel: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Differentiable fold_conv_kernel: (kt, 3, cin, cout) →
+    (kt, 3, f·cin, f·cout) by static scatter (gradients flow back to the
+    original kernel)."""
+    kt, kf, cin, cout = kernel.shape
+    out = jnp.zeros((kt, 3, f * cin, f * cout), kernel.dtype)
+    for r_out in range(f):
+        for d in (-1, 0, 1):
+            s = r_out + d
+            g = (s // f) + 1
+            r_in = s % f
+            out = out.at[:, g, r_in * cin:(r_in + 1) * cin,
+                         r_out * cout:(r_out + 1) * cout].set(kernel[:, d + 1])
+    return out
+
+
+def _block_diag_jnp(mat: jnp.ndarray, f: int) -> jnp.ndarray:
+    c_in, c_out = mat.shape
+    out = jnp.zeros((f * c_in, f * c_out), mat.dtype)
+    for r in range(f):
+        out = out.at[r * c_in:(r + 1) * c_in,
+                     r * c_out:(r + 1) * c_out].set(mat)
+    return out
+
+
+def folded_train_eligible(model_cfg, n_mels: int, fold0: int = 8) -> bool:
+    """Same gate as the serving auto-selection (serve._fold_divides plus
+    topology constraints), evaluated for the train-mode stem."""
+    if (model_cfg.use_fpn or model_cfg.kernel_size != 3
+            or model_cfg.activation not in ("glu", "cg", "relu", "leakyrelu")
+            or n_mels % fold0 != 0):
+        return False
+    f = fold0
+    for _, pf in (tuple(p) for p in model_cfg.pooling):
+        if f == 1:
+            break
+        if pf == 0 or f % pf != 0:
+            return False
+        f //= pf
+    return True
+
+
+def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
+                           bn_eps: float = 1e-3, bn_momentum: float = 0.01):
+    """(apply, n_folded) where
+    ``apply(cnn_params, cnn_stats, x, train, dropout_rng) -> (h, new_stats)``
+    runs the leading foldable blocks on the folded layout using the
+    STANDARD parameter tree (cnn_params['block{i}'] with conv/bn/GLU_0
+    leaves — the kernels/Dense maps are folded on the fly, so gradients
+    land on the original parameters).
+
+    BatchNorm semantics match flax exactly: batch stats are the biased
+    mean/var per original channel over (batch, time, freq) — on the folded
+    layout that is a grouped reduction over the fold copies — with running
+    averages ra = momentum·ra + (1−momentum)·batch (ConvBlock uses flax
+    momentum 0.01 ≡ torch 0.99). Dropout draws iid bernoulli masks on the
+    folded tensor (statistically identical to the unfolded layout, not
+    bit-identical)."""
+    plan: List[Tuple[int, int, int, int, int, int]] = []
+    f = fold0
+    cin = 1
+    for i, (cout, (pt, pf)) in enumerate(zip(model_cfg.nb_filters,
+                                             model_cfg.pooling)):
+        if f == 1:
+            break
+        if f % pf != 0:
+            raise ValueError(f"block{i}: pool {pf} does not divide fold {f}")
+        plan.append((i, cin, cout, pt, pf, f))
+        f //= pf
+        cin = cout
+    n_folded = len(plan)
+    f_rem = f
+    c_last = model_cfg.nb_filters[n_folded - 1]
+    act = model_cfg.activation
+    rate = model_cfg.dropout
+    dtype = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+
+    def apply(cnn_params, cnn_stats, x, train: bool, dropout_rng):
+        b, t, n_f, _ = x.shape
+        h = x.reshape(b, t, n_f // fold0, fold0).astype(dtype)
+        new_stats = {}
+        rng = dropout_rng
+        for (i, ci, co, pt, pf, fi) in plan:
+            p = cnn_params[f"block{i}"]
+            s = cnn_stats[f"block{i}"]
+            k = _fold_kernel_jnp(p["conv"]["kernel"].astype(dtype), fi)
+            h = jax.lax.conv_general_dilated(
+                h, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = h + jnp.tile(p["conv"]["bias"], fi).astype(h.dtype)
+
+            if train:
+                hf = h.astype(jnp.float32).reshape(*h.shape[:-1], fi, co)
+                mean = hf.mean(axis=(0, 1, 2, 3))
+                var = jnp.square(hf).mean(axis=(0, 1, 2, 3)) - mean ** 2
+                new_stats[f"block{i}"] = {"bn": {
+                    "mean": (bn_momentum * s["bn"]["mean"]
+                             + (1.0 - bn_momentum) * mean),
+                    "var": (bn_momentum * s["bn"]["var"]
+                            + (1.0 - bn_momentum) * var)}}
+            else:
+                mean, var = s["bn"]["mean"], s["bn"]["var"]
+                new_stats[f"block{i}"] = {
+                    "bn": {"mean": mean, "var": var}}
+            inv = (p["bn"]["scale"] * jax.lax.rsqrt(var + bn_eps))
+            h = ((h - jnp.tile(mean, fi).astype(h.dtype))
+                 * jnp.tile(inv, fi).astype(h.dtype)
+                 + jnp.tile(p["bn"]["bias"], fi).astype(h.dtype))
+
+            if act in ("glu", "cg"):
+                key = "GLU_0" if act == "glu" else "ContextGating_0"
+                w = _block_diag_jnp(
+                    p[key]["linear"]["kernel"].astype(dtype), fi)
+                lin = h @ w + jnp.tile(p[key]["linear"]["bias"],
+                                       fi).astype(h.dtype)
+                h = lin * jax.nn.sigmoid(h) if act == "glu" \
+                    else h * jax.nn.sigmoid(lin)
+            elif act == "relu":
+                h = jax.nn.relu(h)
+            else:
+                h = jax.nn.leaky_relu(h, negative_slope=0.2)
+
+            if train and rate > 0:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - rate),
+                              jnp.zeros((), h.dtype))
+
+            if pt > 1:
+                import flax.linen as _fnn
+                h = _fnn.avg_pool(h, window_shape=(pt, 1),
+                                  strides=(pt, 1), padding="VALID")
+            if pf > 1:
+                b2, t2, g2, _ = h.shape
+                h = h.reshape(b2, t2, g2, fi // pf, pf, co).mean(axis=4)
+                h = h.reshape(b2, t2, g2, (fi // pf) * co)
+
+        # unfold (B, T', G, f_rem·C) → (B, T', G·f_rem, C)
+        b2, t2, g2, _ = h.shape
+        h = h.reshape(b2, t2, g2, f_rem, c_last).reshape(
+            b2, t2, g2 * f_rem, c_last)
+        return h, new_stats
+
+    return apply, n_folded

@@ -27,6 +27,7 @@ import functools
 import itertools
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import flax.linen as flax_nn
 import jax
 import jax.numpy as jnp
 import optax
@@ -215,6 +216,73 @@ def _log_input(linear_mel: jnp.ndarray) -> jnp.ndarray:
     return amplitude_to_db(linear_mel)[..., None]
 
 
+class _FoldedRestCRNN(flax_nn.Module):
+    """Blocks ``start``..N-1 + squeeze + BiGRU + post-RNN dropout — the
+    flax-managed tail of the folded-train-stem encoder (the leading blocks
+    run through ops/folded_stem.make_folded_train_stem). Parameter names
+    match the standard CRNN tree so the SAME params/stats are consumed."""
+    cfg_model: Any
+    start: int
+
+    @flax_nn.compact
+    def __call__(self, h, train: bool = False):
+        from bsed_tpu.models.layers import ConvBlock
+        from bsed_tpu.models.rnn import BidirectionalGRU
+
+        m = self.cfg_model
+        dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
+        for i in range(self.start, len(m.nb_filters)):
+            h = ConvBlock(m.nb_filters[i], tuple(m.pooling[i]),
+                          m.activation, m.dropout, m.kernel_size,
+                          dtype=dtype, name=f"block{i}")(h, train=train)
+        h = h.astype(jnp.float32)
+        h = jnp.squeeze(h, axis=2)
+        h = BidirectionalGRU(m.n_rnn_cell, m.n_layers_rnn,
+                             m.dropout_recurrent, unroll=m.rnn_unroll,
+                             dtype=dtype, name="rnn")(h, train=train)
+        h = flax_nn.Dropout(m.dropout, deterministic=not train)(h)
+        return h
+
+
+def make_folded_encoder_fwd(cfg: Config):
+    """Train-mode encoder forward with the folded-frequency stem
+    (ModelConfig.folded_train_stem): leading blocks on the folded layout
+    (differentiable, grouped BN batch stats), remaining blocks + GRU via
+    flax with the standard parameter names. Signature:
+    ``fwd(enc_params, enc_stats, x, key) -> (enc, new_enc_stats)``."""
+    from bsed_tpu.ops.folded_stem import (folded_train_eligible,
+                                          make_folded_train_stem)
+
+    if not folded_train_eligible(cfg.model, cfg.audio.n_mels):
+        raise ValueError(
+            "folded_train_stem=True but the topology is not foldable "
+            "(needs non-FPN, kernel 3, glu/cg/relu/leakyrelu activation, "
+            "n_mels divisible by 8, freq pooling dividing the fold)")
+    stem_apply, n_folded = make_folded_train_stem(cfg.model,
+                                                  cfg.audio.n_mels)
+    rest = _FoldedRestCRNN(cfg.model, start=n_folded)
+
+    def blk_idx(name: str) -> int:
+        return int(name.replace("block", ""))
+
+    def fwd(enc_params, enc_stats, x, key, train: bool = True):
+        k_stem, k_rest = jax.random.split(key)
+        h, stem_stats = stem_apply(enc_params["cnn"], enc_stats["cnn"], x,
+                                   train, k_stem)
+        rest_params = {k: v for k, v in enc_params["cnn"].items()
+                       if k.startswith("block") and blk_idx(k) >= n_folded}
+        rest_params["rnn"] = enc_params["rnn"]
+        rest_stats = {k: v for k, v in enc_stats["cnn"].items()
+                      if k.startswith("block") and blk_idx(k) >= n_folded}
+        out, mut = rest.apply(
+            {"params": rest_params, "batch_stats": rest_stats}, h,
+            train=train, rngs={"dropout": k_rest},
+            mutable=["batch_stats"])
+        return out, {"cnn": {**stem_stats, **mut["batch_stats"]}}
+
+    return fwd
+
+
 def make_train_step(modules: TrainModules,
                     steps_per_epoch: Optional[int] = None,
                     grad_flow: bool = False,
@@ -242,13 +310,22 @@ def make_train_step(modules: TrainModules,
             "pass make_train_step(modules, steps_per_epoch=len(loader))")
 
     pred_has_stats = cfg.model.predictor_head == "crnn"
+    folded_fwd = (make_folded_encoder_fwd(cfg)
+                  if cfg.model.folded_train_stem else None)
 
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
-        (enc, _), mut = encoder.apply(
-            {"params": params["encoder"], "batch_stats": stats["encoder"]},
-            x, train=True, rngs={"dropout": k1}, mutable=["batch_stats"])
-        new_stats = {"encoder": mut["batch_stats"]}
+        if folded_fwd is not None:
+            enc, enc_stats = folded_fwd(params["encoder"],
+                                        stats["encoder"], x, k1)
+            new_stats = {"encoder": enc_stats}
+        else:
+            (enc, _), mut = encoder.apply(
+                {"params": params["encoder"],
+                 "batch_stats": stats["encoder"]},
+                x, train=True, rngs={"dropout": k1},
+                mutable=["batch_stats"])
+            new_stats = {"encoder": mut["batch_stats"]}
         if pred_has_stats:
             (strong, weak), mut_p = predictor.apply(
                 {"params": params["predictor"],

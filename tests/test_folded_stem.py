@@ -130,3 +130,117 @@ def test_fold_divides_gate_matches_builder():
     assert _fold_divides(((1, 2), (1, 2)))                    # leftover f=2
     assert not _fold_divides(((1, 4), (1, 4)))                # 4 ∤ 2
     assert not _fold_divides(((1, 3), (1, 2)))                # 3 ∤ 8
+
+
+def test_folded_train_stem_matches_standard_train_forward():
+    """The TRAIN-mode folded stem (make_folded_encoder_fwd) must reproduce
+    the standard flax encoder's train-mode forward on the same params:
+    outputs, grouped BatchNorm batch-stat updates, and parameter gradients
+    (dropout=0 — masks are layout-dependent by design). f32, tiny shapes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_folded_encoder_fwd)
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, dropout=0.0, folded_train_stem=True))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    fwd = make_folded_encoder_fwd(cfg)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(
+        (3, cfg.audio.max_frames, cfg.audio.n_mels, 1)).astype(np.float32))
+    key = jax.random.key(7)
+
+    out_f, stats_f = jax.jit(lambda p, s: fwd(p, s, x, key))(
+        state.params["encoder"], state.batch_stats["encoder"])
+    (out_s, _), mut = jax.jit(lambda p, s: modules.encoder.apply(
+        {"params": p, "batch_stats": s}, x, train=True,
+        rngs={"dropout": key}, mutable=["batch_stats"]))(
+        state.params["encoder"], state.batch_stats["encoder"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                               atol=2e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(stats_f)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(
+        mut["batch_stats"]))
+    assert len(flat_f) == len(flat_s)
+    for path, v in flat_f:
+        np.testing.assert_allclose(np.asarray(v),
+                                   np.asarray(flat_s[path]),
+                                   atol=1e-5, err_msg=str(path))
+
+    # gradient equality through both paths
+    g_f = jax.jit(jax.grad(lambda p: fwd(
+        p, state.batch_stats["encoder"], x, key)[0].sum()))(
+        state.params["encoder"])
+    g_s = jax.jit(jax.grad(lambda p: modules.encoder.apply(
+        {"params": p, "batch_stats": state.batch_stats["encoder"]},
+        x, train=True, rngs={"dropout": key},
+        mutable=["batch_stats"])[0][0].sum()))(state.params["encoder"])
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_f),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4,
+                                   err_msg=str(path))
+
+
+def test_folded_train_stem_full_step_matches(tmp_path):
+    """A full jitted train step with folded_train_stem=True must match the
+    standard step's losses and updated params (dropout=0, f32)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    rng = np.random.default_rng(5)
+
+    def run(folded):
+        cfg = get_config("baseline_mt").replace(
+            audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, dropout=0.0, folded_train_stem=folded))
+        modules = build_modules(cfg)
+        state = create_train_state(cfg, modules, jax.random.key(0))
+        step = make_train_step(modules, steps_per_epoch=2)
+        bs = 4
+        batch = {
+            "syn": jnp.asarray(np.abs(rng.standard_normal(
+                (bs, cfg.audio.max_frames,
+                 cfg.audio.n_mels))).astype(np.float32)),
+            "syn_strong": jnp.asarray((np.arange(
+                bs * cfg.n_frames * cfg.nclass).reshape(
+                bs, cfg.n_frames, cfg.nclass) % 7 == 0
+            ).astype(np.float32)),
+            "real": jnp.asarray(np.abs(rng.standard_normal(
+                (bs, cfg.audio.max_frames,
+                 cfg.audio.n_mels))).astype(np.float32)),
+            "real_weak": jnp.asarray((np.arange(bs * cfg.nclass).reshape(
+                bs, cfg.nclass) % 3 == 0).astype(np.float32)),
+        }
+        state, m = step(state, batch, jax.random.key(1), jnp.asarray(0.0))
+        return state, {k: float(v) for k, v in m.items()}
+
+    rng = np.random.default_rng(5)
+    s_std, m_std = run(False)
+    rng = np.random.default_rng(5)
+    s_fold, m_fold = run(True)
+    for k in ("loss", "strong_class_loss", "weak_class_loss"):
+        np.testing.assert_allclose(m_fold[k], m_std[k], rtol=1e-4,
+                                   err_msg=k)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(s_std.params),
+                    jax.tree_util.tree_leaves(s_fold.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3)
