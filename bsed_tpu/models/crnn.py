@@ -27,6 +27,7 @@ from bsed_tpu.models.cnn import CNN, CNNFPN
 from bsed_tpu.models.init import normal_init
 from bsed_tpu.models.layers import time_interp_matrix
 from bsed_tpu.models.rnn import BidirectionalGRU
+from bsed_tpu.ops.dropout import FastDropout
 
 
 def _cnn_kwargs(cfg: ModelConfig) -> dict:
@@ -51,7 +52,7 @@ class CRNN(nn.Module):
                              unroll=self.cfg.rnn_unroll,
                              dtype=_cnn_kwargs(self.cfg)["dtype"],
                              name="rnn")(x, train=train)
-        x = nn.Dropout(self.cfg.dropout, deterministic=not train)(x)
+        x = FastDropout(self.cfg.dropout, deterministic=not train)(x)
         return x, x
 
 
@@ -76,7 +77,7 @@ class CRNNFPN(nn.Module):
                                  unroll=cfg.rnn_unroll,
                                  dtype=_cnn_kwargs(cfg)["dtype"],
                                  name=name)(h, train=train)
-            return nn.Dropout(cfg.dropout, deterministic=not train)(h)
+            return FastDropout(cfg.dropout, deterministic=not train)(h)
 
         x = run_rnn(x, "rnn")        # (B, 313, 256)
         x_2 = run_rnn(x_2, "rnn_2")  # (B, 156, 256)

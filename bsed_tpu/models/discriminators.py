@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from bsed_tpu.models.init import bn_scale_init, normal_init
 from bsed_tpu.ops.grl import grad_reverse
+from bsed_tpu.ops.dropout import FastDropout
 
 
 class FrameDiscriminatorGRL(nn.Module):
@@ -40,10 +41,10 @@ class FrameDiscriminatorGRL(nn.Module):
             x = grad_reverse(x, grl_coeff)
         x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
                              name="dense_d_1")(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         x = nn.relu(nn.Dense(1024, kernel_init=normal_init(0.01),
                              name="dense_d_2")(x))
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         return nn.sigmoid(nn.Dense(self.n_out, kernel_init=normal_init(0.01),
                                    name="dense_d_3")(x))
 
@@ -57,10 +58,10 @@ class FrameDiscriminator(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.leaky_relu(nn.Dense(128, kernel_init=normal_init(0.01),
                                    name="dense_d_1")(x), 0.2)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         x = nn.leaky_relu(nn.Dense(32, kernel_init=normal_init(0.01),
                                    name="dense_d_2")(x), 0.2)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         return nn.sigmoid(nn.Dense(1, kernel_init=normal_init(0.01),
                                    name="dense_d_3")(x))
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from bsed_tpu.models.init import bn_scale_init, normal_init, xavier_uniform_gain
+from bsed_tpu.ops.dropout import FastDropout
 
 
 class GLU(nn.Module):
@@ -121,7 +122,7 @@ class ConvBlock(nn.Module):
                          dtype=self.dtype, name="bn")(x)
         act = activation_layer(self.activation, self.features, self.dtype)
         x = act(x) if not isinstance(act, nn.Module) else act(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         if self.pooling != (1, 1):
             x = nn.avg_pool(x, window_shape=self.pooling,
                             strides=self.pooling, padding="VALID")

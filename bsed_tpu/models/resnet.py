@@ -14,6 +14,7 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from bsed_tpu.ops.dropout import FastDropout
 
 
 class BasicBlock(nn.Module):
@@ -85,6 +86,6 @@ class VGGTagger(nn.Module):
                 x = nn.relu(x)
         x = x.mean(axis=(1, 2))
         x = nn.relu(nn.Dense(4096, name="fc1")(x))
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = FastDropout(0.5, deterministic=not train)(x)
         x = nn.Dense(self.nclass, name="fc2")(x)
         return nn.sigmoid(x)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from bsed_tpu.models.init import uniform_sqrt_h
+from bsed_tpu.ops.dropout import FastDropout
 
 
 def _gru_scan_bidir(xp2: jnp.ndarray, w_hh2: jnp.ndarray, b_hh2: jnp.ndarray,
@@ -106,5 +107,5 @@ class BidirectionalGRU(nn.Module):
             out = jnp.concatenate(
                 [ys2[0], jnp.flip(ys2[1], axis=1)], axis=-1)
             if self.dropout > 0 and layer < self.num_layers - 1:
-                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+                out = FastDropout(self.dropout, deterministic=not train)(out)
         return out.astype(jnp.float32)

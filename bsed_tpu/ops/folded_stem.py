@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bsed_tpu.ops.dropout import dropout as fast_dropout
+
 
 def fold_conv_kernel(kernel: np.ndarray, f: int) -> np.ndarray:
     """(kt, 3, cin, cout) 3-tap-frequency kernel -> (kt, 3, f*cin, f*cout)
@@ -311,9 +313,7 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
 
             if train and rate > 0:
                 rng, sub = jax.random.split(rng)
-                keep = jax.random.bernoulli(sub, 1.0 - rate, h.shape)
-                h = jnp.where(keep, h / (1.0 - rate),
-                              jnp.zeros((), h.dtype))
+                h = fast_dropout(sub, h, rate)
 
             if pt > 1:
                 import flax.linen as _fnn

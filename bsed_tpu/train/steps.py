@@ -40,6 +40,7 @@ from bsed_tpu.models.discriminators import (ClipDiscriminator,
                                             FrameDiscriminatorGRL)
 from bsed_tpu.ops.augment import (gaussian_snr_noise, mixup, roll_batch,
                                   sample_isp_shifts)
+from bsed_tpu.ops.dropout import FastDropout
 from bsed_tpu.ops.grl import warm_start_lambda
 from bsed_tpu.ops.mel import amplitude_to_db
 from bsed_tpu.models.predictor import Predictor, Predictor2
@@ -240,7 +241,7 @@ class _FoldedRestCRNN(flax_nn.Module):
         h = BidirectionalGRU(m.n_rnn_cell, m.n_layers_rnn,
                              m.dropout_recurrent, unroll=m.rnn_unroll,
                              dtype=dtype, name="rnn")(h, train=train)
-        h = flax_nn.Dropout(m.dropout, deterministic=not train)(h)
+        h = FastDropout(m.dropout, deterministic=not train)(h)
         return h
 
 
