@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from bsed_tpu.models.init import bn_scale_init, normal_init, xavier_uniform_gain
 from bsed_tpu.ops.dropout import FastDropout
+from bsed_tpu.ops.pooling import avg_pool as pool_avg
 
 
 class GLU(nn.Module):
@@ -124,8 +125,7 @@ class ConvBlock(nn.Module):
         x = act(x) if not isinstance(act, nn.Module) else act(x)
         x = FastDropout(self.dropout, deterministic=not train)(x)
         if self.pooling != (1, 1):
-            x = nn.avg_pool(x, window_shape=self.pooling,
-                            strides=self.pooling, padding="VALID")
+            x = pool_avg(x, self.pooling)
         return x
 
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsed_tpu.ops.dropout import dropout as fast_dropout
+from bsed_tpu.ops.pooling import fast_avg_pool
 
 
 def fold_conv_kernel(kernel: np.ndarray, f: int) -> np.ndarray:
@@ -164,10 +165,7 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
             else:
                 x = jax.nn.leaky_relu(x, negative_slope=0.2)
             if blk["pt"] > 1:
-                x = jax.lax.reduce_window(
-                    x, jnp.zeros((), x.dtype), jax.lax.add,
-                    (1, blk["pt"], 1, 1), (1, blk["pt"], 1, 1),
-                    "VALID") / jnp.asarray(blk["pt"], x.dtype)
+                x = fast_avg_pool(x, (blk["pt"], 1))
             if "pool_w" in blk:
                 x = x @ blk["pool_w"].astype(x.dtype)
         # unfold (B, T', G, f_rem*C) -> (B, T', G*f_rem, C)
@@ -316,9 +314,7 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
                 h = fast_dropout(sub, h, rate)
 
             if pt > 1:
-                import flax.linen as _fnn
-                h = _fnn.avg_pool(h, window_shape=(pt, 1),
-                                  strides=(pt, 1), padding="VALID")
+                h = fast_avg_pool(h, (pt, 1))
             if pf > 1:
                 b2, t2, g2, _ = h.shape
                 h = h.reshape(b2, t2, g2, fi // pf, pf, co).mean(axis=4)
