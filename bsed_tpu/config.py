@@ -182,9 +182,28 @@ class TrainConfig:
     checkpoint_epochs: int = 1
     early_stopping: Optional[int] = None
     es_init_wait: int = 50
-    time_shift_max: int = 64          # ISP: randint(-64,64) * ptr frames
+    # ISP time-roll magnitude: randint(-N,N) * ptr frames. TWO lineages in
+    # the reference: 64 for main_baseline / *_weak* / pseudo_labeling
+    # (main_baseline.py:232, main_scmt_ada_weak.py:232,
+    # main_sct_ada_weak.py:230, pseudo_labeling_main.py:232) but 32 for the
+    # scmt/origin/ada family (main.py:203, main_origin.py:177,
+    # main_scmt.py:205, main_scmt_ada.py:208, main_scmt_ada_origin.py:206) —
+    # note this split is NOT the cost_ramp split (main_sct_ada_weak.py has
+    # the exp_step ramp but the 64-frame shift), so it is its own knob.
+    time_shift_max: int = 64
     freq_shift_max: int = 4           # ISP: randint(-4,4) mel bins
     supervise_on: str = "syn"         # syn | real  (main_baseline vs main_baseline_ena)
+    # Dataset-level feature normalization — live in exactly ONE reference
+    # script: main.py fits a Scaler on ConcatDataset([ENA train, SYN])
+    # (:681-686) and passes it to the train transforms (:689-690), with a
+    # SEPARATE val-fitted scaler for per-epoch validation (:696-699).
+    # main_baseline & the *_weak*/pseudo_labeling family pass scaler=None
+    # (main_baseline.py:710-713); main_scmt.py:783 / main_origin.py:620 /
+    # main_scmt_ada_origin.py:907 crash on the undefined cfg.syn_or_not
+    # before training (bit-rot); main_scmt_ada.py fits one but passes None
+    # (:748-768). TestModel.py:225-231 fits and IGNORES one, so `cli eval`
+    # never normalizes. See utils/scaler.py.
+    normalize: bool = False
     best_metric: str = "event_f1"     # event_f1 | weak_f1 (pseudo_labeling_main.py:990)
     # perf opt-in: stack the same-shape MT+ISP student forwards (and the 3
     # teacher forwards) into ONE batched forward each. Changes per-stream
@@ -339,16 +358,26 @@ PRESETS = {
     # main_scmt.py: MT + SCT with ADDA-style alternating update, adv_w=2.5;
     # aux optimizers at the constant construction lr (main_scmt.py:923-930;
     # the ×0.1 coupling never fires — adjust_lr=False in data/config.py:97).
+    # normalize stays False: the script's scaler block references the
+    # UNDEFINED cfg.syn_or_not (:783) and crashes before training at HEAD;
+    # the preset models the pre-bit-rot trainable configuration without
+    # normalization (pass normalize=True by hand to opt in).
     "scmt": _cfg("scmt",
                  train={"mean_teacher": True, "isp": True,
-                        "cost_ramp": "exp_step"},
+                        "cost_ramp": "exp_step", "time_shift_max": 32},
                  da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
     # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
     # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470);
     # aux optimizers at the constant construction lr (adjust_lr=False).
+    # normalize=True: main.py is the ONE script with live dataset
+    # normalization (scaler fit on train+syn, main.py:681-690; val uses a
+    # val-fitted scaler, :696-699). main_origin.py itself crashes at HEAD
+    # on the undefined cfg.syn_or_not (:620) — main.py is the preset's
+    # runnable anchor.
     "origin": _cfg("origin",
                    train={"mean_teacher": True, "isp": True, "mixup": True,
-                          "cost_ramp": "exp_step"},
+                          "cost_ramp": "exp_step", "time_shift_max": 32,
+                          "normalize": True},
                    da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
     # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
     # mixup with per-step alternating discriminator/confusion updates on the
@@ -357,12 +386,16 @@ PRESETS = {
     # lr (adjust_lr=False, so the :279 coupling call never fires).
     "scmt_ada_origin": _cfg("scmt_ada_origin",
                             train={"mean_teacher": True, "isp": True,
-                                   "mixup": True, "cost_ramp": "exp_step"},
+                                   "mixup": True, "cost_ramp": "exp_step",
+                                   "time_shift_max": 32},
                             da={"mode": "adda", "level": "frame",
                                 "adv_weight": 2.5, "update_step": 1}),
-    # main_scmt_ada.py: MT + DANN on clip features.
+    # main_scmt_ada.py: MT + DANN on clip features. Its scaler fit is dead
+    # work — fitted on SYN (:748-754) but every transform gets None
+    # (:756-768) — so normalize stays False.
     "scmt_ada": _cfg("scmt_ada",
-                     train={"mean_teacher": True, "cost_ramp": "exp_step"},
+                     train={"mean_teacher": True, "cost_ramp": "exp_step",
+                            "time_shift_max": 32},
                      da={"mode": "dann", "level": "clip"}),
     # main_scmt_ada_weak.py: MT + clip-CDAN + weak PL, SGD, joint backward.
     "scmt_ada_weak": _cfg("scmt_ada_weak",

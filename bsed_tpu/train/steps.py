@@ -64,6 +64,12 @@ class TrainModules:
     enc_optimizer: Optional[optax.GradientTransformation]
     disc_optimizer: Optional[optax.GradientTransformation]
     rand_maps: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+    # dataset-level (mean, std) per mel bin for TrainConfig.normalize (the
+    # main.py lineage's live scaler, utils/scaler.py) — None = no
+    # normalization; applied right after the log, BEFORE ISP rolls, like
+    # the reference's transform order (Normalize is the last transform,
+    # shifts are applied to the already-transformed batch, main.py:203-218)
+    norm_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
 
 def _base_optimizer(cfg: Config):
@@ -127,7 +133,7 @@ def make_predictor_head(cfg: Config):
     return Predictor(nclass=cfg.nclass, attention=m.attention)
 
 
-def build_modules(cfg: Config) -> TrainModules:
+def build_modules(cfg: Config, norm_stats=None) -> TrainModules:
     encoder = make_encoder(cfg.model, cfg.n_frames)
     predictor = make_predictor_head(cfg)
     disc = _make_discriminator(cfg)
@@ -154,6 +160,9 @@ def build_modules(cfg: Config) -> TrainModules:
         enc_optimizer=_base_optimizer(cfg) if disc is not None else None,
         disc_optimizer=_base_optimizer(cfg) if disc is not None else None,
         rand_maps=rand_maps,
+        norm_stats=(tuple(jnp.asarray(a, jnp.float32)[:, None]
+                          for a in norm_stats)
+                    if norm_stats is not None else None),
     )
 
 
@@ -473,6 +482,18 @@ def make_train_step(modules: TrainModules,
         return jax.lax.cond(state.step % cfg.da.update_step == 0, run, skip,
                             state)
 
+    norm_stats = modules.norm_stats
+
+    def _inp(lin):
+        """linear mel → log-mel (+ channel axis), then dataset-level
+        normalization when TrainConfig.normalize is live (main.py:689-690;
+        order matches the reference: Normalize is the final transform, ISP
+        rolls shift the already-normalized batch, main.py:203-218)."""
+        x = _log_input(lin)
+        if norm_stats is not None:
+            x = (x - norm_stats[0]) / norm_stats[1]
+        return x
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, epoch: jnp.ndarray):
         # fold the step counter into the key INSIDE the program: callers can
@@ -516,8 +537,8 @@ def make_train_step(modules: TrainModules,
         real_lin = batch.get("real", None)
         syn_target = batch["syn_strong"]                     # (Bs, Tf, C)
         syn_target_weak = syn_target.max(axis=-2)
-        x_syn = _log_input(syn_lin)
-        x_real = _log_input(real_lin) if real_lin is not None else None
+        x_syn = _inp(syn_lin)
+        x_real = _inp(real_lin) if real_lin is not None else None
         real_weak_target = batch.get("real_weak", None)      # (Br, C)
         real_strong_target = batch.get("real_strong", None)
 
@@ -546,7 +567,7 @@ def make_train_step(modules: TrainModules,
         # ---- teacher inputs (noise in the LINEAR mel domain, then log —
         # transform order of get_transforms, Transforms.py:317)
         if mean_teacher:
-            x_real_t = _log_input(
+            x_real_t = _inp(
                 gaussian_snr_noise(k_noise, real_lin, cfg.audio.noise_snr))
 
         # ---- ISP shifts (shared between real and syn streams,
@@ -844,17 +865,32 @@ def make_epoch_runner(modules: TrainModules,
     return jax.jit(run_epoch, donate_argnums=(0,))
 
 
-def make_predict_fn(modules: TrainModules) -> Callable:
+def make_predict_fn(modules: TrainModules, norm_stats="train") -> Callable:
     """Jitted inference: linear mel (B, T, F) → (strong, weak) posteriors
     with BN running averages and no dropout (get_predictions contract,
-    evaluation_measures.py:163-182)."""
+    evaluation_measures.py:163-182).
+
+    norm_stats: "train" uses modules.norm_stats (the train+syn scaler —
+    what main.py's per-epoch SYN evaluation sees through the train
+    transforms); None disables normalization (TestModel.py semantics);
+    an explicit (mean, std) pair ((F,) arrays) normalizes with those —
+    the Trainer passes the VAL-fitted stats for per-epoch validation
+    (main.py:696-699)."""
     cfg = modules.cfg
+    if norm_stats == "train":
+        nm = modules.norm_stats
+    elif norm_stats is None:
+        nm = None
+    else:
+        nm = tuple(jnp.asarray(a, jnp.float32)[:, None] for a in norm_stats)
 
     pred_has_stats = cfg.model.predictor_head == "crnn"
 
     @functools.partial(jax.jit, static_argnames=("inference", "apply_log"))
     def predict(params, batch_stats, mel, inference=False, apply_log=True):
         x = _log_input(mel) if apply_log else mel[..., None]
+        if nm is not None:
+            x = (x - nm[0]) / nm[1]
         enc, _ = modules.encoder.apply(
             {"params": params["encoder"],
              "batch_stats": batch_stats["encoder"]}, x, train=False)

@@ -70,7 +70,23 @@ class Trainer:
             hop_size=cfg.audio.hop_size,
             pooling_time_ratio=cfg.model.pooling_time_ratio)
 
-        self.modules: TrainModules = build_modules(cfg)
+        # Dataset normalization (TrainConfig.normalize — the main.py
+        # lineage): fit the train scaler on the union of the real train
+        # streams + SYN (main.py:681-686 fits on ConcatDataset([ENA train,
+        # SYN])), and a SEPARATE scaler on the val set for per-epoch
+        # validation (main.py:696-699). `cli eval` (TestModel semantics)
+        # never normalizes — TestModel.py:225-231 fits one and ignores it.
+        norm_stats = None
+        self.val_norm_stats = None
+        if cfg.train.normalize:
+            from bsed_tpu.utils.scaler import fit_log_mel_stats
+            norm_stats = fit_log_mel_stats(
+                [train_loader.weak, train_loader.unlab, train_loader.syn])
+            if val_loader is not None:
+                self.val_norm_stats = fit_log_mel_stats([val_loader.dataset])
+        self.norm_stats = norm_stats
+        self.modules: TrainModules = build_modules(cfg,
+                                                   norm_stats=norm_stats)
         # param init stays threefry (bit-stable across configs); the
         # per-epoch training stream (dropout/noise/shifts/mixup) uses
         # cfg.train.prng_impl — "rbg" = TPU hardware RNG, 1.5× faster
@@ -106,6 +122,11 @@ class Trainer:
         self.scan_epoch = scan_epoch
         self._epoch_runner = None
         self.predict = make_predict_fn(self.modules)
+        # validation uses the VAL-fitted scaler (main.py:696-699); without
+        # normalization both predict fns are the same object
+        self.predict_val = (
+            make_predict_fn(self.modules, norm_stats=self.val_norm_stats)
+            if self.val_norm_stats is not None else self.predict)
         self.saver = SaveBest("sup")
         self.early_stopping = (
             EarlyStopping(cfg.train.early_stopping, cfg.train.es_init_wait)
@@ -135,6 +156,12 @@ class Trainer:
             "many_hot_encoder": self.encoder_codec.state_dict(),
             "median_window": cfg.median_window,
             "median_window_classwise": cfg.median_window_classwise,
+            # train+syn scaler stats (None unless TrainConfig.normalize);
+            # recorded for self-description — `cli eval` stays
+            # TestModel-faithful and does not apply them
+            "scaler": ({"mean": np.asarray(norm_stats[0]).tolist(),
+                        "std": np.asarray(norm_stats[1]).tolist()}
+                       if norm_stats is not None else None),
         })
 
     # ------------------------------------------------------------------
@@ -265,7 +292,9 @@ class Trainer:
         return params, stats
 
     def evaluate(self, loader: EvalLoader, thresholds=(0.5,),
-                 learned_post: bool = False) -> Dict[str, float]:
+                 learned_post: bool = False,
+                 predict_fn=None) -> Dict[str, float]:
+        predict = predict_fn if predict_fn is not None else self.predict
         params, stats = self._eval_params()
         pred_dfs = []
         # GT at original second resolution when available; frame-decoded
@@ -281,8 +310,8 @@ class Trainer:
                 # rows are independent: pure DP (multi-host evals
                 # replicated instead — see _eval_params)
                 mel = shard_batch(self.mesh, mel)
-            strong, weak = self.predict(params, stats, mel,
-                                        inference=self.cfg.model.use_fpn)
+            strong, weak = predict(params, stats, mel,
+                                   inference=self.cfg.model.use_fpn)
             strong = np.asarray(strong)[:n_valid]
             weak = np.asarray(weak)[:n_valid]
             names = names[:n_valid]
@@ -344,7 +373,8 @@ class Trainer:
                 syn_scores = self.evaluate(self.syn_eval_loader)
                 row.update({f"syn_{k}": v for k, v in syn_scores.items()})
             if self.val_loader is not None:
-                val_scores = self.evaluate(self.val_loader)
+                val_scores = self.evaluate(self.val_loader,
+                                           predict_fn=self.predict_val)
                 row.update({f"val_{k}": v for k, v in val_scores.items()})
                 metric_key = ("val_weak_f1"
                               if cfg.train.best_metric == "weak_f1"

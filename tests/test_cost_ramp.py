@@ -93,3 +93,44 @@ def test_step_cost_matches_reference_formula_both_lineages():
     # the lineages genuinely diverge at this point (~10×: step-based exp
     # ramp is already at ~0.04 of max while the epoch sigmoid sits at ~0.004)
     assert want / want_b > 5.0
+
+
+def test_isp_time_shift_lineage_split():
+    """The SCT time-roll magnitude also splits by lineage — and NOT along
+    the cost_ramp split: randint(-64,64)·ptr for main_baseline.py:232,
+    main_scmt_ada_weak.py:232, main_sct_ada_weak.py:230 and
+    pseudo_labeling_main.py:232, but randint(-32,32)·ptr for main.py:203,
+    main_origin.py:177, main_scmt.py:205, main_scmt_ada.py:208 and
+    main_scmt_ada_origin.py:206 (main_sct_ada_weak has the exp_step ramp
+    but the 64-frame shift)."""
+    from bsed_tpu.config import get_config
+
+    for preset, want in [("baseline", 64), ("baseline_mt_isp", 64),
+                         ("baseline_fpn_mt_isp", 64),
+                         ("baseline_adaptation", 64),
+                         ("scmt_ada_weak", 64), ("sct_ada_weak", 64),
+                         ("scmt_ada_weak_separate", 64),
+                         ("scmt_ada_weak_separate_2crnn", 64),
+                         ("pseudo_labeling", 64),
+                         ("scmt", 32), ("origin", 32),
+                         ("scmt_ada", 32), ("scmt_ada_origin", 32)]:
+        cfg = get_config(preset)
+        assert cfg.train.time_shift_max == want, (
+            preset, cfg.train.time_shift_max, want)
+        assert cfg.train.freq_shift_max == 4, preset   # ±4 in every script
+
+
+def test_sampled_shifts_respect_range():
+    import jax
+    import numpy as np
+
+    from bsed_tpu.ops.augment import sample_isp_shifts
+
+    in_shift, pool_shift, freq_shift = sample_isp_shifts(
+        jax.random.key(0), 2000, 32, 4, 4)
+    ps = np.asarray(pool_shift)
+    assert ps.min() >= -32 and ps.max() <= 32
+    assert ps.min() == -32 and ps.max() == 32          # inclusive randint
+    assert (np.asarray(in_shift) == ps * 4).all()
+    fs = np.asarray(freq_shift)
+    assert fs.min() == -4 and fs.max() == 4
