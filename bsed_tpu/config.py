@@ -192,6 +192,51 @@ class TrainConfig:
     # the exp_step ramp but the 64-frame shift), so it is its own knob.
     time_shift_max: int = 64
     freq_shift_max: int = 4           # ISP: randint(-4,4) mel bins
+    # Which SCT/ISP loss WIRING the script lineage uses. The reference's
+    # per-script ISP blocks differ structurally, not just in constants —
+    # audited line-by-line against every live loss sum:
+    #   "baseline"  — 4 shifted student forwards (real shift/freq, syn
+    #       shift/freq); weak-freq SCT on syn + real[:half]; two-term self
+    #       shift consistency cost/2·(MSE(syn_s, roll syn)+MSE(real_s,
+    #       roll real)); MT adds ½·(strong shift + strong freq-shift)
+    #       teacher consistencies. Live in main_baseline.py:441-529,
+    #       main_baseline_ena.py:447-532, main_scmt_ada_weak.py:441-525,
+    #       ..._seperate.py:445-529, ..._2_crnn.py:447-531,
+    #       pseudo_labeling_main.py:438-522.
+    #   "scmt"      — SYN-ONLY shifted student forwards (main_scmt.py:
+    #       425-430 — the real-stream shift forwards are commented out);
+    #       weak-freq SCT on syn only (:459); CROSS-STREAM self shift
+    #       consistency cost/2·MSE(syn shifted student, rolled REAL student
+    #       pred) (:571); FOUR full-weight teacher shift consistencies
+    #       (strong+weak × shift+freq), pairing the syn shifted student
+    #       against the real-stream shifted teacher (:529-547, added :579).
+    #       Also live in main_scmt_ada_origin.py:682-694 (same sums).
+    #   "scmt_ada"  — like "scmt" but the self shift consistency pairs the
+    #       rolled SYN student pred (main_scmt_ada.py:542-545; the MT-block
+    #       real-paired variant is commented out :536-537).
+    #   "sct"       — 4 shifted student forwards like "baseline" but the
+    #       live sum adds ONLY strong shift + strong freq-shift class
+    #       losses and the single-term syn self consistency
+    #       (main_sct_ada_weak.py:510-513); weak-freq and all teacher shift
+    #       terms are computed-but-never-added (:514 commented) — teacher
+    #       shift FORWARDS still run (EMA BN side effects, :481-495).
+    #   "origin"    — main.py's mask-era wiring: 4 shifted student
+    #       forwards, weak-freq on the labeled real half (main.py:383),
+    #       strong shift/freq on syn (:422-423), single combined-batch self
+    #       shift consistency (:482), no teacher shift terms. NOTE: at HEAD
+    #       main.py -ISP crashes with NameError — the SCT losses are
+    #       defined only under `mask_weak is not None` (:379-391) but the
+    #       live call passes mask_weak=None (:953) while the sum uses them
+    #       unconditionally (:483); the preset models the mask-era intent
+    #       (weak slice = real[:half], strong slice = syn).
+    isp_flavor: str = "baseline"
+    # The real-stream weak BCE term added to the supervised weak loss when
+    # a teacher is present: "full" = whole real stream (weak + PL,
+    # main_baseline.py:435), "half" = labeled half only, added EVEN without
+    # a teacher (main_sct_ada_weak.py:419-423), "none" = syn-only weak BCE
+    # (the 2-loader scmt/origin lineage: main_scmt.py:459, main.py:394 —
+    # their real streams carry strong ENA labels that feed no weak loss).
+    real_weak_bce: str = "full"
     supervise_on: str = "syn"         # syn | real  (main_baseline vs main_baseline_ena)
     # Dataset-level feature normalization — live in exactly ONE reference
     # script: main.py fits a Scaler on ConcatDataset([ENA train, SYN])
@@ -364,7 +409,8 @@ PRESETS = {
     # normalization (pass normalize=True by hand to opt in).
     "scmt": _cfg("scmt",
                  train={"mean_teacher": True, "isp": True,
-                        "cost_ramp": "exp_step", "time_shift_max": 32},
+                        "cost_ramp": "exp_step", "time_shift_max": 32,
+                        "isp_flavor": "scmt", "real_weak_bce": "none"},
                  da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
     # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
     # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470);
@@ -377,17 +423,23 @@ PRESETS = {
     "origin": _cfg("origin",
                    train={"mean_teacher": True, "isp": True, "mixup": True,
                           "cost_ramp": "exp_step", "time_shift_max": 32,
-                          "normalize": True},
+                          "normalize": True, "isp_flavor": "origin",
+                          "real_weak_bce": "none"},
                    da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
     # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
     # mixup with per-step alternating discriminator/confusion updates on the
     # frame features (adv_w=2.5, update_step=1, :364-466), Adam main
     # optimizer (:1056-1060); aux optimizers at the constant construction
     # lr (adjust_lr=False, so the :279 coupling call never fires).
+    # mixup is OFF: every mixup term in main_scmt_ada_origin.py is
+    # commented out of the live sums (:558-560, :579-585, :619-624 — the
+    # helpers exist at :128-150 but nothing calls them), unlike main.py.
     "scmt_ada_origin": _cfg("scmt_ada_origin",
                             train={"mean_teacher": True, "isp": True,
-                                   "mixup": True, "cost_ramp": "exp_step",
-                                   "time_shift_max": 32},
+                                   "cost_ramp": "exp_step",
+                                   "time_shift_max": 32,
+                                   "isp_flavor": "scmt",
+                                   "real_weak_bce": "none"},
                             da={"mode": "adda", "level": "frame",
                                 "adv_weight": 2.5, "update_step": 1}),
     # main_scmt_ada.py: MT + DANN on clip features. Its scaler fit is dead
@@ -395,7 +447,9 @@ PRESETS = {
     # (:756-768) — so normalize stays False.
     "scmt_ada": _cfg("scmt_ada",
                      train={"mean_teacher": True, "cost_ramp": "exp_step",
-                            "time_shift_max": 32},
+                            "time_shift_max": 32,
+                            "isp_flavor": "scmt_ada",
+                            "real_weak_bce": "none"},
                      da={"mode": "dann", "level": "clip"}),
     # main_scmt_ada_weak.py: MT + clip-CDAN + weak PL, SGD, joint backward.
     "scmt_ada_weak": _cfg("scmt_ada_weak",
@@ -404,11 +458,20 @@ PRESETS = {
                           da={"mode": "cdan", "level": "clip",
                               "joint_backward": True,
                               "randomized_dim": 8192}),
-    # main_sct_ada_weak.py: SCT-only (no MT) + DANN, SGD.
+    # main_sct_ada_weak.py: SCT + DANN, SGD. mean_teacher is ON because
+    # the script's runnable -ISP invocation passes the EMA twins (:975) and
+    # then ADDS the MT weak/strong consistencies (:503) — the no-teacher
+    # call (:980) with ISP crashes on the undefined consistency_cost
+    # (:512), so "SCT-only" is unreachable at HEAD. The "sct" flavor keeps
+    # the script's reduced ISP sum (no weak-freq term, no teacher shift
+    # terms, single-term syn self consistency, :510-513) and the
+    # real[:half] weak BCE (:419-423).
     "sct_ada_weak": _cfg("sct_ada_weak",
-                         train={"isp": True, "pseudo_labels": True,
-                                "optimizer": "sgd",
-                                "cost_ramp": "exp_step"},
+                         train={"isp": True, "mean_teacher": True,
+                                "pseudo_labels": True, "optimizer": "sgd",
+                                "cost_ramp": "exp_step",
+                                "isp_flavor": "sct",
+                                "real_weak_bce": "half"},
                          da={"mode": "dann", "joint_backward": True}),
     # main_scmt_ada_weak_seperate.py: stage-2 resume with discriminator re-init.
     "scmt_ada_weak_separate": _cfg("scmt_ada_weak_separate",

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from bsed_tpu.models.init import bn_scale_init, normal_init
+from bsed_tpu.models.layers import TorchBatchNorm
 from bsed_tpu.ops.grl import grad_reverse
 from bsed_tpu.ops.dropout import FastDropout
 
@@ -75,7 +76,7 @@ class _ClipConvStack(nn.Module):
             x = nn.Conv(feats, (3, 3), strides=(2, 2), padding="VALID",
                         kernel_init=normal_init(0.01),
                         name=f"conv_{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, scale_init=bn_scale_init,
                              name=f"bn_{i + 1}")(x)
             x = nn.leaky_relu(x, 0.2)

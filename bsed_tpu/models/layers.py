@@ -92,6 +92,61 @@ class SmallChannelConv3x3(nn.Module):
         return out + b
 
 
+class TorchBatchNorm(nn.Module):
+    """Batch normalization with torch-exact running-stat semantics.
+
+    flax's ``nn.BatchNorm`` accumulates the running variance with the BIASED
+    batch variance; torch normalizes with the biased variance but accumulates
+    the UNBIASED one (× n/(n−1) — torch ``_BatchNorm.forward`` →
+    ``F.batch_norm`` with ``training=True``). At the small per-channel element
+    counts of the late conv blocks ((B, T', 1, C) → n = B·T' = 256 at the
+    flagship shapes) the factor is ~0.4% — a systematic running-var error in
+    every exported checkpoint relative to the reference
+    (/root/reference/src/models/CNN.py:43-67 BatchNorm2d). This module
+    reproduces torch's update rule exactly; batch statistics are always
+    computed in float32 regardless of the compute dtype.
+
+    Interface and tree layout match ``nn.BatchNorm`` ('scale'/'bias' params,
+    'mean'/'var' in the ``batch_stats`` collection; ``momentum`` uses the
+    FLAX convention ra = m·ra + (1−m)·batch, so torch momentum 0.99 ≡ 0.01
+    here), making it a drop-in replacement — checkpoints and torch_compat
+    are unchanged."""
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: object = None
+    scale_init: object = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                corr = n / (n - 1) if n > 1 else 1.0
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * corr)
+        dt = self.dtype or x.dtype
+        inv = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(dt)
+        return (x.astype(dt) - mean.astype(dt)) * inv + bias.astype(dt)
+
+
 class ConvBlock(nn.Module):
     """conv3x3(s1,p1) → BatchNorm(eps 1e-3, torch momentum 0.99) → activation
     → dropout → avg-pool, one block of the 7-block stack (CNN.py:43-67)."""
@@ -118,9 +173,9 @@ class ConvBlock(nn.Module):
                         kernel_init=xavier_uniform_gain(),
                         dtype=self.dtype, name="conv")(x)
         # torch momentum 0.99 → flax momentum 0.01 (flax: ra = m*ra + (1-m)*b)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
-                         epsilon=1e-3, scale_init=bn_scale_init,
-                         dtype=self.dtype, name="bn")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.01,
+                           epsilon=1e-3, scale_init=bn_scale_init,
+                           dtype=self.dtype, name="bn")(x)
         act = activation_layer(self.activation, self.features, self.dtype)
         x = act(x) if not isinstance(act, nn.Module) else act(x)
         x = FastDropout(self.dropout, deterministic=not train)(x)

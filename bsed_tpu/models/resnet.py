@@ -14,6 +14,7 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from bsed_tpu.models.layers import TorchBatchNorm
 from bsed_tpu.ops.dropout import FastDropout
 
 
@@ -26,17 +27,17 @@ class BasicBlock(nn.Module):
         residual = x
         y = nn.Conv(self.features, (3, 3), self.strides, padding=1,
                     use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), (1, 1), padding=1,
                     use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), self.strides,
                                use_bias=False, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train,
+            residual = TorchBatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
                                     name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -52,7 +53,7 @@ class ResNet18Tagger(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -81,7 +82,7 @@ class VGGTagger(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(spec, (3, 3), padding=1, name=f"conv{i}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, name=f"bn{i}")(x)
                 x = nn.relu(x)
         x = x.mean(axis=(1, 2))

@@ -20,7 +20,13 @@ import jax.numpy as jnp
 def gaussian_snr_noise(rng: jax.Array, features: jnp.ndarray,
                        snr: float) -> jnp.ndarray:
     """features: (..., T, F) linear mel; returns features + noise at the
-    target SNR, with the noise std computed per frequency bin over time."""
+    target SNR, with the noise std computed per frequency bin over time.
+    ``snr=None`` disables the noise entirely (the reference's eval
+    transforms omit AugmentGaussianNoise, Transforms.py:317-330; also used
+    by the training-dynamics parity tests to make teacher inputs
+    deterministic)."""
+    if snr is None:
+        return features
     std = jnp.sqrt(jnp.mean(jnp.square(features) * (10.0 ** (-snr / 10.0)),
                             axis=-2, keepdims=True))
     noise = jax.random.normal(rng, features.shape, features.dtype) * std

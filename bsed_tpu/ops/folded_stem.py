@@ -282,11 +282,16 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
                 hf = h.astype(jnp.float32).reshape(*h.shape[:-1], fi, co)
                 mean = hf.mean(axis=(0, 1, 2, 3))
                 var = jnp.square(hf).mean(axis=(0, 1, 2, 3)) - mean ** 2
+                # torch accumulates the UNBIASED batch variance into the
+                # running stat (× n/(n−1)) while normalizing with the biased
+                # one — mirrors models/layers.TorchBatchNorm
+                n = hf.shape[0] * hf.shape[1] * hf.shape[2] * hf.shape[3]
+                corr = n / (n - 1) if n > 1 else 1.0
                 new_stats[f"block{i}"] = {"bn": {
                     "mean": (bn_momentum * s["bn"]["mean"]
                              + (1.0 - bn_momentum) * mean),
                     "var": (bn_momentum * s["bn"]["var"]
-                            + (1.0 - bn_momentum) * var)}}
+                            + (1.0 - bn_momentum) * (var * corr))}}
             else:
                 mean, var = s["bn"]["mean"], s["bn"]["var"]
                 new_stats[f"block{i}"] = {

@@ -322,6 +322,11 @@ def make_train_step(modules: TrainModules,
     pred_has_stats = cfg.model.predictor_head == "crnn"
     folded_fwd = (make_folded_encoder_fwd(cfg)
                   if cfg.model.folded_train_stem else None)
+    # scmt/scmt_ada lineage: the real-stream shifted STUDENT forwards are
+    # commented out of the reference (main_scmt.py:425-430,
+    # main_scmt_ada.py:402-405, main_scmt_ada_origin.py:539-542) — only the
+    # syn stream runs shifted through the student
+    isp_syn_only = t.isp_flavor in ("scmt", "scmt_ada")
 
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
@@ -440,10 +445,15 @@ def make_train_step(modules: TrainModules,
             key, 6)
 
         def run(state):
-            # --- discriminator step on detached features
+            # --- discriminator step on detached features; forward order is
+            # REAL then SYN (main_scmt.py:317-323), which fixes the BN
+            # batch-stat update sequence
             def d_loss_fn(disc_params):
-                _, _, syn_f, _, _, r_f, stats = _domain_features(
-                    state.params, state.batch_stats, x_syn, x_real, k_fwd1)
+                ka, kb = jax.random.split(k_fwd1)
+                _, _, r_f, stats = model_fwd(state.params,
+                                             state.batch_stats, x_real, ka)
+                _, _, syn_f, stats = model_fwd(state.params, stats, x_syn,
+                                               kb)
                 dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
                                        k_d)
                 return da_losses.adda_discriminator_loss(
@@ -454,12 +464,14 @@ def make_train_step(modules: TrainModules,
                 g_disc, state.disc_opt_state, state.disc_params)
             disc_params = optax.apply_updates(state.disc_params, disc_updates)
 
-            # --- feature-extractor confusion step
+            # --- feature-extractor confusion step: the reference forwards
+            # ONLY the real stream here (main_scmt.py:353-356 — the syn
+            # forward is commented out)
             def c_loss_fn(enc_params):
                 params = {"encoder": enc_params,
                           "predictor": state.params["predictor"]}
-                _, _, _, _, _, r_f, stats = _domain_features(
-                    params, stats_after, x_syn, x_real, k_fwd2)
+                _, _, r_f, stats = model_fwd(params, stats_after, x_real,
+                                             k_fwd2)
                 dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
                                        k_c)
                 return da_losses.adda_confusion_loss(
@@ -576,8 +588,9 @@ def make_train_step(modules: TrainModules,
             in_shift, pool_shift, freq_shift = sample_isp_shifts(
                 k_shift, syn_lin.shape[0], t.time_shift_max,
                 t.freq_shift_max, cfg.model.pooling_time_ratio)
-            x_real_shift = roll_batch(x_real, in_shift, axis=1)
-            x_real_freq = roll_batch(x_real, freq_shift, axis=2)
+            if not isp_syn_only:
+                x_real_shift = roll_batch(x_real, in_shift, axis=1)
+                x_real_freq = roll_batch(x_real, freq_shift, axis=2)
             x_syn_shift = roll_batch(x_syn, in_shift, axis=1)
             x_syn_freq = roll_batch(x_syn, freq_shift, axis=2)
             syn_target_shift = roll_batch(syn_target, pool_shift, axis=1)
@@ -636,11 +649,13 @@ def make_train_step(modules: TrainModules,
             stats = state.batch_stats
             if fused:
                 # one batched forward over all same-rank student streams
-                # (2 main + 4 ISP); split back by static sizes
+                # (2 main + up to 4 ISP); split back by static sizes
                 parts = [x_syn, x_real]
-                if isp:
+                if isp and not isp_syn_only:
                     parts += [x_real_shift, x_real_freq,
                               x_syn_shift, x_syn_freq]
+                elif isp:
+                    parts += [x_syn_shift, x_syn_freq]
                 sizes = [p.shape[0] for p in parts]
                 cuts = list(itertools.accumulate(sizes))[:-1]
                 s_all, w_all, e_all, stats = model_fwd(
@@ -650,9 +665,12 @@ def make_train_step(modules: TrainModules,
                 e_p = jnp.split(e_all, cuts, 0)
                 syn_strong, syn_weak, syn_enc = s_p[0], w_p[0], e_p[0]
                 r_strong, r_weak, r_enc = s_p[1], w_p[1], e_p[1]
-                if isp:
+                if isp and not isp_syn_only:
                     rs_strong, rf_strong, ss_strong, sf_strong = s_p[2:6]
                     rs_weak, rf_weak, ss_weak, sf_weak = w_p[2:6]
+                elif isp:
+                    ss_strong, sf_strong = s_p[2:4]
+                    ss_weak, sf_weak = w_p[2:4]
             else:
                 # NOTE: the syn forward runs (and its BatchNorm batch-stat
                 # update is kept) even when supervise_on == "real" — the
@@ -678,8 +696,19 @@ def make_train_step(modules: TrainModules,
                 strong_loss = bce(r_strong, real_strong_target)
             else:
                 weak_loss = bce(syn_weak, syn_target_weak)
-                if mean_teacher and real_weak_target is not None:
-                    weak_loss = weak_loss + bce(r_weak, real_weak_target)
+                if real_weak_target is not None:
+                    if t.real_weak_bce == "full" and mean_teacher:
+                        # whole real stream: labeled weak + PL
+                        # (main_baseline.py:435)
+                        weak_loss = weak_loss + bce(r_weak, real_weak_target)
+                    elif t.real_weak_bce == "half":
+                        # labeled half only, with or without a teacher
+                        # (main_sct_ada_weak.py:419-423)
+                        hw = real_weak_target.shape[0] // 2
+                        weak_loss = weak_loss + bce(r_weak[:hw],
+                                                    real_weak_target[:hw])
+                    # "none": the 2-loader scmt/origin lineage adds no real
+                    # weak term (main_scmt.py:459, main.py:394)
                 strong_loss = bce(syn_strong, syn_target)
             m["weak_class_loss"] = weak_loss
             m["strong_class_loss"] = strong_loss
@@ -695,39 +724,117 @@ def make_train_step(modules: TrainModules,
             if isp:
                 half = r_weak.shape[0] // 2
                 if not fused:
-                    rs_strong, rs_weak, _, stats = model_fwd(
-                        params, stats, x_real_shift, k_s3)
-                    rf_strong, rf_weak, _, stats = model_fwd(
-                        params, stats, x_real_freq, k_s4)
+                    if not isp_syn_only:
+                        rs_strong, rs_weak, _, stats = model_fwd(
+                            params, stats, x_real_shift, k_s3)
+                        rf_strong, rf_weak, _, stats = model_fwd(
+                            params, stats, x_real_freq, k_s4)
                     ss_strong, ss_weak, _, stats = model_fwd(
                         params, stats, x_syn_shift, k_s5)
                     sf_strong, sf_weak, _, stats = model_fwd(
                         params, stats, x_syn_freq, k_s6)
-                # SCT classification losses (main_baseline.py:442-480)
-                weak_freq_loss = bce(sf_weak, syn_target_weak)
-                if real_weak_target is not None:
-                    weak_freq_loss = weak_freq_loss + bce(
-                        rf_weak[:half], real_weak_target[:half])
+
+                # SCT classification losses — the strong terms are common to
+                # every lineage (main_baseline.py:479-480, main_scmt.py:
+                # 503-504, main_sct_ada_weak.py:462-463, main.py:422-423)
                 strong_shift_loss = bce(ss_strong, syn_target_shift)
                 strong_freq_loss = bce(sf_strong, syn_target)
-                m["weak_freq_shift_class_loss"] = weak_freq_loss
                 m["strong_shift_class_loss"] = strong_shift_loss
                 m["strong_freq_shift_class_loss"] = strong_freq_loss
-                loss = loss + weak_freq_loss + strong_shift_loss \
-                    + strong_freq_loss
-                # self shift-consistency (main_baseline.py:524-525)
-                syn_pred_shift = sg(roll_batch(syn_strong, pool_shift, axis=1))
-                real_pred_shift = sg(roll_batch(r_strong, pool_shift, axis=1))
-                c_shift = cost / 2 * (mse(ss_strong, syn_pred_shift)
-                                      + mse(rs_strong, real_pred_shift))
+                loss = loss + strong_shift_loss + strong_freq_loss
+
+                # weak-freq SCT term: composition and liveness per lineage
+                if t.isp_flavor == "baseline":
+                    # syn + labeled real half (main_baseline.py:445)
+                    weak_freq_loss = bce(sf_weak, syn_target_weak)
+                    if real_weak_target is not None:
+                        weak_freq_loss = weak_freq_loss + bce(
+                            rf_weak[:half], real_weak_target[:half])
+                    m["weak_freq_shift_class_loss"] = weak_freq_loss
+                    loss = loss + weak_freq_loss
+                elif t.isp_flavor in ("scmt", "scmt_ada"):
+                    # syn only (main_scmt.py:459, main_scmt_ada.py:422)
+                    weak_freq_loss = bce(sf_weak, syn_target_weak)
+                    m["weak_freq_shift_class_loss"] = weak_freq_loss
+                    loss = loss + weak_freq_loss
+                elif t.isp_flavor == "origin" \
+                        and real_weak_target is not None:
+                    # mask_weak slice = labeled real half (main.py:383)
+                    weak_freq_loss = bce(rf_weak[:half],
+                                         real_weak_target[:half])
+                    m["weak_freq_shift_class_loss"] = weak_freq_loss
+                    loss = loss + weak_freq_loss
+                elif t.isp_flavor == "sct":
+                    # computed but NEVER added to the live sum
+                    # (main_sct_ada_weak.py:428 vs :513) — metric only
+                    m["weak_freq_shift_class_loss"] = bce(sf_weak,
+                                                          syn_target_weak)
+
+                # self shift-consistency: pairing differs per lineage
+                syn_pred_shift = sg(roll_batch(syn_strong, pool_shift,
+                                               axis=1))
+                if t.isp_flavor == "baseline":
+                    # two-term: each stream vs its own rolled prediction
+                    # (main_baseline.py:524-525)
+                    real_pred_shift = sg(roll_batch(r_strong, pool_shift,
+                                                    axis=1))
+                    c_shift = cost / 2 * (mse(ss_strong, syn_pred_shift)
+                                          + mse(rs_strong, real_pred_shift))
+                elif t.isp_flavor == "scmt":
+                    # CROSS-STREAM: syn shifted student vs the rolled REAL
+                    # student prediction (main_scmt.py:571, same sum in
+                    # main_scmt_ada_origin.py:686)
+                    real_pred_shift = sg(roll_batch(r_strong, pool_shift,
+                                                    axis=1))
+                    c_shift = cost / 2 * mse(ss_strong, real_pred_shift)
+                elif t.isp_flavor == "origin":
+                    # single MSE over the combined shifted batch
+                    # (main.py:482: strong_shift_pred vs rolled preds of
+                    # the whole train batch)
+                    real_pred_shift = sg(roll_batch(r_strong, pool_shift,
+                                                    axis=1))
+                    c_shift = cost / 2 * mse(
+                        jnp.concatenate([rs_strong, ss_strong], 0),
+                        jnp.concatenate([real_pred_shift, syn_pred_shift],
+                                        0))
+                else:
+                    # scmt_ada (:542-544) / sct (main_sct_ada_weak.py:512):
+                    # syn shifted student vs rolled SYN prediction
+                    c_shift = cost / 2 * mse(ss_strong, syn_pred_shift)
                 m["consistency_shift"] = c_shift
                 loss = loss + c_shift
-                if mean_teacher:
+
+                # teacher shift consistencies
+                if mean_teacher and t.isp_flavor == "baseline":
+                    # strong-only, REAL shifted student, half weight
+                    # (main_baseline.py:501-513, added at :541)
                     c_ss = cost * mse(rs_strong, teacher["strong_shift"])
                     c_sf = cost * mse(rf_strong, teacher["strong_freq"])
                     m["consistency_strong_shift"] = c_ss
                     m["consistency_strong_freq_shift"] = c_sf
                     loss = loss + 0.5 * (c_ss + c_sf)
+                elif mean_teacher and t.isp_flavor in ("scmt", "scmt_ada"):
+                    # FOUR full-weight terms: SYN shifted student (strong
+                    # AND weak) vs the real-stream shifted teacher
+                    # (main_scmt.py:529-547, added :579;
+                    # main_scmt_ada.py:491-499, added :545)
+                    c_ss = cost * mse(ss_strong, teacher["strong_shift"])
+                    c_ws = cost * mse(ss_weak, teacher["weak_shift"])
+                    c_sf = cost * mse(sf_strong, teacher["strong_freq"])
+                    c_wf = cost * mse(sf_weak, teacher["weak_freq"])
+                    m["consistency_strong_shift"] = c_ss
+                    m["consistency_weak_shift"] = c_ws
+                    m["consistency_strong_freq_shift"] = c_sf
+                    m["consistency_weak_freq_shift"] = c_wf
+                    loss = loss + c_ss + c_ws + c_sf + c_wf
+                elif mean_teacher and t.isp_flavor == "sct":
+                    # computed-but-never-added (main_sct_ada_weak.py:
+                    # 481-495 vs :514 commented) — metrics only
+                    m["consistency_strong_shift"] = cost * mse(
+                        rs_strong, teacher["strong_shift"])
+                    m["consistency_strong_freq_shift"] = cost * mse(
+                        rf_strong, teacher["strong_freq"])
+                # "origin": no teacher shift terms exist (main.py)
 
             if use_mixup:
                 # ICT supervised strong mixup (main.py:426-432): mixed

@@ -302,3 +302,53 @@ def convert_resnet18_tagger(state: Mapping[str, np.ndarray], params: Dict,
     else:
         skipped.append("fc")
     return params, batch_stats, skipped
+
+
+def _clip_disc_dense_perm() -> np.ndarray:
+    """Input-dim permutation between the two flatten orders of the clip
+    discriminator's pooled (8-channel × 2-row) features.
+
+    torch (CRNN_GRL.py:49): ``x.view(-1, C·H·W)`` on (B, 8, 2, 1) flattens
+    channel-major — input index = c·2 + r. Ours
+    (models/discriminators._ClipConvStack) stacks the two pooled rows then
+    reshapes (B, 2, 8) → (B, 16) — index = r·8 + c. perm[ours] = torch."""
+    return np.asarray([c * 2 + r for r in range(2) for c in range(8)])
+
+
+def convert_clip_discriminator(state: Mapping[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """torch ``Clip_Discriminator`` state_dict (CRNN_GRL.py:16-53) →
+    (params, batch_stats) for models/discriminators.ClipDiscriminator."""
+    convs_p, convs_s = {}, {}
+    for i in range(1, 6):
+        convs_p[f"conv_{i}"] = convert_conv(state[f"conv_{i}.weight"],
+                                            state[f"conv_{i}.bias"])
+        p, s = convert_bn(state, f"bn_{i}.")
+        convs_p[f"bn_{i}"] = p
+        convs_s[f"bn_{i}"] = s
+    d = convert_dense(state["dense_d.weight"], state["dense_d.bias"])
+    d["kernel"] = d["kernel"][_clip_disc_dense_perm()]
+    return ({"convs": convs_p, "dense_d": d}, {"convs": convs_s})
+
+
+def export_clip_discriminator(params: Mapping, stats: Mapping
+                              ) -> Dict[str, np.ndarray]:
+    """Inverse of convert_clip_discriminator (for the checkpoint contract's
+    optional ``model_d`` entry, main_baseline.py:914-922)."""
+    out: Dict[str, np.ndarray] = {}
+    for i in range(1, 6):
+        blk = params["convs"][f"conv_{i}"]
+        out[f"conv_{i}.weight"] = np.transpose(np.asarray(blk["kernel"]),
+                                               (3, 2, 0, 1))
+        out[f"conv_{i}.bias"] = np.asarray(blk["bias"])
+        bn = params["convs"][f"bn_{i}"]
+        out[f"bn_{i}.weight"] = np.asarray(bn["scale"])
+        out[f"bn_{i}.bias"] = np.asarray(bn["bias"])
+        st = stats["convs"][f"bn_{i}"]
+        out[f"bn_{i}.running_mean"] = np.asarray(st["mean"])
+        out[f"bn_{i}.running_var"] = np.asarray(st["var"])
+        out[f"bn_{i}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    inv = np.argsort(_clip_disc_dense_perm())
+    out["dense_d.weight"] = np.asarray(params["dense_d"]["kernel"])[inv].T
+    out["dense_d.bias"] = np.asarray(params["dense_d"]["bias"])
+    return out

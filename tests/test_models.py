@@ -133,3 +133,44 @@ def test_bf16_compute_dtype_close_to_fp32():
     assert out16.dtype == jnp.float32  # cast back after the conv stack
     err = np.abs(np.asarray(out32) - np.asarray(out16))
     assert err.max() < 0.1 and err.mean() < 0.01
+
+
+def test_torch_batchnorm_running_stats_match_torch():
+    """TorchBatchNorm (models/layers.py) vs torch.nn.BatchNorm2d, TRAIN
+    mode: outputs AND running statistics must match across two steps.
+    torch accumulates the UNBIASED batch variance (× n/(n−1)) into
+    running_var while normalizing with the biased one — the very semantics
+    flax's nn.BatchNorm gets wrong (it accumulates the biased variance),
+    which is why the framework carries its own BN module."""
+    from bsed_tpu.models.layers import TorchBatchNorm
+
+    b, h, w, c = 3, 5, 2, 4            # n = 30 → visible n/(n−1) factor
+    rng = np.random.default_rng(0)
+    xs = [rng.standard_normal((b, h, w, c)).astype(np.float32)
+          for _ in range(2)]
+    scale = np.asarray([1.2, 0.8, 1.0, 0.5], np.float32)
+    bias = np.asarray([0.1, -0.2, 0.0, 0.3], np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-3, momentum=0.99)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias))
+    tbn.train()
+    touts = [tbn(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy()
+             for x in xs]
+
+    mod = TorchBatchNorm(use_running_average=False, momentum=0.01,
+                         epsilon=1e-3)
+    variables = mod.init(jax.random.key(0), jnp.asarray(xs[0]))
+    params = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+    stats = variables["batch_stats"]
+    for i, x in enumerate(xs):
+        out, mut = mod.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x), mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), touts[i], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.numpy(), atol=1e-6)
