@@ -111,6 +111,20 @@ class DAConfig:
     randomized_dim: int = 8192        # config.py:89 (cdan random projection)
     adv_weight: float = 1.0           # main_baseline.py:306 (scmt uses 2.5/5)
     update_step: int = 1
+    # ADDA per-lineage wiring (audited against each script's RUNNABLE path;
+    # see train/da.py adda_* docstrings for the file:line trail):
+    #   adda_disc_labels: "split" = real→target/syn→source (main.py:234-237,
+    #     the runnable frame-level block); "all_target" = main_scmt.py's
+    #     clip branch labels every row [0,1] (:276-278 hard-codes 12 rows
+    #     all-target) — the labels its runnable clip adaptation trains with.
+    #   adda_confusion: "half" = fresh random half-batch subset of the real
+    #     stream (main_scmt.py:363-366); "full" = whole real stream
+    #     (main.py:322-326 — the choice draw is dead); "syn_flipped" =
+    #     syn stream vs flipped all-target labels (main_scmt_ada_origin.py:
+    #     461-466; its DA block is dead at HEAD — (B,313,2) labels vs the
+    #     1-unit CRNN_GRL discriminator — kept as the written intent).
+    adda_disc_labels: str = "split"
+    adda_confusion: str = "half"
     grl_alpha: float = 1.0            # DA/grl.py:33-74 warm-start schedule
     grl_lo: float = 0.0
     grl_hi: float = 1.0
@@ -411,7 +425,16 @@ PRESETS = {
                  train={"mean_teacher": True, "isp": True,
                         "cost_ramp": "exp_step", "time_shift_max": 32,
                         "isp_flavor": "scmt", "real_weak_bce": "none"},
-                 da={"mode": "adda", "adv_weight": 2.5, "update_step": 2}),
+                 # level "clip" is main_scmt.py's RUNNABLE adaptation: the
+                 # frame default crashes at HEAD (Frame_Discriminator built
+                 # with input_dim 256·20 vs 256-dim frame features, :740,
+                 # :865) while Clip_Discriminator ignores input_dim (:867,
+                 # CRNN.py:16-51); its clip labels are the degenerate
+                 # all-target block (:276-278) and its confusion step
+                 # subsets a fresh random half batch (:363-366)
+                 da={"mode": "adda", "level": "clip", "adv_weight": 2.5,
+                     "update_step": 2, "adda_disc_labels": "all_target",
+                     "adda_confusion": "half"}),
     # main.py / main_origin.py: oldest lineage with ICT mixup (supervised
     # mixup + unlabeled mixup-consistency vs the EMA teacher, main.py:386-470);
     # aux optimizers at the constant construction lr (adjust_lr=False).
@@ -425,7 +448,15 @@ PRESETS = {
                           "cost_ramp": "exp_step", "time_shift_max": 32,
                           "normalize": True, "isp_flavor": "origin",
                           "real_weak_bce": "none"},
-                   da={"mode": "adda", "adv_weight": 5.0, "update_step": 2}),
+                   # main.py's frame-level ADDA is the lineage's RUNNABLE
+                   # one (Frame_Discriminator(input_dim=256), main.py:640):
+                   # split domain labels (:234-237), FULL-batch confusion
+                   # (:322-326 — the half-batch draw is dead), and the
+                   # discriminator's built-in grad_reverse (CRNN.py:80-89,
+                   # 104) NEGATES the confusion gradient into the encoder
+                   da={"mode": "adda", "level": "frame", "adv_weight": 5.0,
+                       "update_step": 2, "adda_disc_labels": "split",
+                       "adda_confusion": "full"}),
     # main_scmt_ada_origin.py: the largest ADA variant — MT + SCT + ICT
     # mixup with per-step alternating discriminator/confusion updates on the
     # frame features (adv_w=2.5, update_step=1, :364-466), Adam main
@@ -440,8 +471,15 @@ PRESETS = {
                                    "time_shift_max": 32,
                                    "isp_flavor": "scmt",
                                    "real_weak_bce": "none"},
+                            # its DA block is DEAD at HEAD ((B,313,2)
+                            # labels vs the 1-unit CRNN_GRL discriminator,
+                            # :312-322 vs CRNN_GRL.py:116-140); written
+                            # intent: split labels, per-step updates,
+                            # syn-stream confusion vs flipped labels
                             da={"mode": "adda", "level": "frame",
-                                "adv_weight": 2.5, "update_step": 1}),
+                                "adv_weight": 2.5, "update_step": 1,
+                                "adda_disc_labels": "split",
+                                "adda_confusion": "syn_flipped"}),
     # main_scmt_ada.py: MT + DANN on clip features. Its scaler fit is dead
     # work — fitted on SYN (:748-754) but every transform gets None
     # (:756-768) — so normalize stays False.

@@ -107,30 +107,55 @@ def cdan_frame_loss(disc_apply: Callable, g_s, f_s, g_t, f_t,
     return bce(d, jnp.broadcast_to(labels, d.shape))
 
 
-def adda_discriminator_loss(disc_apply: Callable, rng: jax.Array,
-                            f_real: jnp.ndarray, f_syn: jnp.ndarray,
-                            adv_weight: float = 2.5) -> jnp.ndarray:
-    """Discriminator update (main_scmt.py:314-336): detached features, a
-    shared random half-batch from each domain; real → target (unit 1),
-    syn → source (unit 0); two-unit sigmoid discriminator."""
-    b = f_real.shape[0]
-    choice = jax.random.permutation(rng, b)[: b // 2]
-    d_real = disc_apply(jax.lax.stop_gradient(f_real))[choice]
-    d_syn = disc_apply(jax.lax.stop_gradient(f_syn))[choice]
-    d = jnp.concatenate([d_real, d_syn], axis=0)
-    lbl_real = jnp.zeros_like(d_real).at[..., 1].set(1.0)
-    lbl_syn = jnp.zeros_like(d_syn).at[..., 0].set(1.0)
-    labels = jnp.concatenate([lbl_real, lbl_syn], axis=0)
+def adda_discriminator_loss(d_real: jnp.ndarray, d_syn: jnp.ndarray,
+                            choice: jnp.ndarray, adv_weight: float = 2.5,
+                            disc_labels: str = "split") -> jnp.ndarray:
+    """Discriminator update on precomputed (detached-feature) discriminator
+    outputs: ``cat(d_real[choice], d_syn[choice])`` vs the lineage's domain
+    labels, × adv_weight (the caller runs the model/discriminator forwards
+    so their BatchNorm batch-stat order matches the reference exactly).
+
+    ``disc_labels``:
+      * "split" — real → target (unit 1), syn → source (unit 0): the frame-
+        level label block every script carries (main.py:234-237,
+        main_scmt.py:271-274 frame branch) and the one RUNNABLE in
+        main.py/main_origin.py (Frame_Discriminator(input_dim=256),
+        main.py:640).
+      * "all_target" — every row labeled [0, 1]: main_scmt.py's clip branch
+        builds ``zeros((12, 2)); [:18, 1] = 1`` (:276-278) which target-
+        labels ALL 12 rows — the degenerate labels its runnable clip-level
+        adaptation actually trains with (frame level crashes at HEAD:
+        input_dim 256·20 vs 256-dim frame features, main_scmt.py:740).
+    """
+    d = jnp.concatenate([d_real[choice], d_syn[choice]], axis=0)
+    if disc_labels == "all_target":
+        labels = jnp.zeros_like(d).at[..., 1].set(1.0)
+    else:
+        lbl_real = jnp.zeros_like(d_real[choice]).at[..., 1].set(1.0)
+        lbl_syn = jnp.zeros_like(d_syn[choice]).at[..., 0].set(1.0)
+        labels = jnp.concatenate([lbl_real, lbl_syn], axis=0)
     return adv_weight * bce(d, labels)
 
 
-def adda_confusion_loss(disc_apply: Callable, rng: jax.Array,
-                        f_real: jnp.ndarray,
-                        adv_weight: float = 2.5) -> jnp.ndarray:
-    """Feature-extractor confusion step (main_scmt.py:343-369): push real
-    features toward the SOURCE label on a random half batch."""
-    b = f_real.shape[0]
-    choice = jax.random.permutation(rng, b)[: b // 2]
-    d = disc_apply(f_real)[choice]
-    labels = jnp.zeros_like(d).at[..., 0].set(1.0)
+def adda_confusion_loss(d_conf: jnp.ndarray, choice: Optional[jnp.ndarray],
+                        adv_weight: float = 2.5,
+                        flipped: bool = False) -> jnp.ndarray:
+    """Feature-extractor confusion step on a precomputed NON-detached
+    discriminator output. The three lineages differ:
+
+      * main_scmt.py:343-371 — real-stream output subset to a fresh random
+        half batch (``choice``), labels all-[..., 0] ("source").
+      * main.py:291-332 — FULL real-stream output (the half-batch choice is
+        drawn but dead, :322-325), labels all-[..., 0]; the runnable
+        Frame_Discriminator applies grad_reverse at its input
+        (models/CRNN.py:80-89,104), so the encoder gradient is NEGATED —
+        the caller owns that via the discriminator flavor.
+      * main_scmt_ada_origin.py:448-466 — SYN-stream output vs flipped
+        all-[..., 1] labels (``flipped=True``); dead at HEAD (its (B,313,2)
+        labels cannot BCE against the 1-unit CRNN_GRL discriminator,
+        :312-322 vs CRNN_GRL.py:116-140) — kept as the written intent.
+    """
+    d = d_conf if choice is None else d_conf[choice]
+    unit = 1 if flipped else 0
+    labels = jnp.zeros_like(d).at[..., unit].set(1.0)
     return adv_weight * bce(d, labels)

@@ -94,15 +94,34 @@ def _effective_da_mode(cfg: Config) -> str:
     return cfg.da.mode if cfg.train.stage == "adaptation" else "none"
 
 
+def sample_adda_choice(rng: jax.Array, batch_size: int) -> jnp.ndarray:
+    """The reference's ``np.random.choice(batch_size, batch_size//2,
+    replace=False)`` half-batch subset (main_scmt.py:325, main.py:276) as a
+    device-side draw. Module-level so training-dynamics parity tests can
+    replay the reference's exact host draws."""
+    return jax.random.permutation(rng, batch_size)[: batch_size // 2]
+
+
 def _make_discriminator(cfg: Config):
     mode, level = _effective_da_mode(cfg), cfg.da.level
     if mode == "none":
         return None
     if mode == "adda":
-        # 2-unit MLP matching the reference's (…, 2) domain labels; the
-        # reference's internal GRL would invert the explicit alternating
-        # updates, so it stays off here
-        return FrameDiscriminatorGRL(dropout=0.5, n_out=2, apply_grl=False)
+        if level == "clip":
+            # main_scmt.py's runnable adaptation: Clip_Discriminator with
+            # the 2-way softmax head (models/CRNN.py:16-51)
+            return ClipDiscriminatorSoftmax()
+        if cfg.da.adda_confusion == "syn_flipped":
+            # scmt_ada_origin's CRNN_GRL import carries no internal GRL
+            # (CRNN_GRL.py:116-140); 2 units to match its (…, 2) labels
+            return FrameDiscriminatorGRL(dropout=0.5, n_out=2,
+                                         apply_grl=False)
+        # main.py lineage's runnable frame-level Frame_Discriminator
+        # (CRNN.py:91-112): 256→1024→1024→2 sigmoid with grad_reverse at
+        # the input — live in the confusion step, where it NEGATES the
+        # gradient into the encoder (the disc step detaches features, so
+        # the reversal is inert there)
+        return FrameDiscriminatorGRL(dropout=0.5, n_out=2, apply_grl=True)
     if mode == "cdan_frame":
         return FrameDiscriminator(dropout=0.5)         # per-frame 1-unit
     if mode == "cdan":
@@ -355,17 +374,28 @@ def make_train_step(modules: TrainModules,
         return strong, weak, enc, new_stats
 
     def disc_apply_fn(disc_params, disc_stats, key):
+        """Train-mode discriminator application that THREADS BatchNorm
+        running-stat updates across successive calls: the torch
+        discriminators update running stats on every forward (the clip
+        flavors carry five BatchNorm2d, CRNN.py:31-36), so each call here
+        consumes the previous call's mutated stats, in call order. The
+        caller reads ``cell["stats"]`` after the last call and stores it
+        back into the train state (as a value_and_grad aux output when the
+        calls happen inside a loss)."""
+        cell = {"stats": disc_stats}
+
         def apply(h):
-            if disc_stats:
-                out, _ = modules.discriminator.apply(
-                    {"params": disc_params, "batch_stats": disc_stats}, h,
-                    train=True, rngs={"dropout": key},
+            if cell["stats"]:
+                out, mut = modules.discriminator.apply(
+                    {"params": disc_params, "batch_stats": cell["stats"]},
+                    h, train=True, rngs={"dropout": key},
                     mutable=["batch_stats"])
+                cell["stats"] = mut["batch_stats"]
                 return out
             return modules.discriminator.apply(
                 {"params": disc_params}, h, train=True,
                 rngs={"dropout": key})
-        return apply
+        return apply, cell
 
     def _domain_features(params, stats, x_syn, x_real, key):
         k1, k2 = jax.random.split(key)
@@ -414,14 +444,15 @@ def make_train_step(modules: TrainModules,
             (syn_s, _, syn_f, r_s, _, r_f,
              stats) = _domain_features(params, state.batch_stats, x_syn,
                                        x_real, k_fwd)
-            dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
-                                   k_disc)
+            dapply, dcell = disc_apply_fn(disc_params,
+                                          state.disc_batch_stats, k_disc)
             dl = _grl_domain_loss(dapply, syn_s, syn_f, r_s, r_f, grl_coeff)
-            return dl, stats
+            return dl, (stats, dcell["stats"])
 
-        (dl, new_stats), (g_enc, g_disc) = jax.value_and_grad(
-            domain_loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params["encoder"], state.disc_params)
+        (dl, (new_stats, new_disc_stats)), (g_enc, g_disc) = \
+            jax.value_and_grad(
+                domain_loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params["encoder"], state.disc_params)
 
         enc_updates, enc_opt = modules.enc_optimizer.update(
             g_enc, state.enc_opt_state, state.params["encoder"])
@@ -434,49 +465,70 @@ def make_train_step(modules: TrainModules,
             params={**state.params, "encoder": enc_params},
             batch_stats=new_stats,
             disc_params=disc_params,
+            disc_batch_stats=new_disc_stats,
             disc_opt_state=disc_opt,
             enc_opt_state=enc_opt)
         return state, dl
 
     def adda_steps(state: TrainState, x_syn, x_real, key):
-        """ADDA-style alternating updates (main_scmt.py:312-369), executed
-        every cfg.da.update_step steps via lax.cond."""
+        """ADDA-style alternating updates (main_scmt.py:312-371,
+        main.py:262-332, main_scmt_ada_origin.py:369-466), executed every
+        cfg.da.update_step steps via lax.cond. Per-lineage wiring — label
+        scheme and confusion composition — comes from
+        cfg.da.adda_disc_labels / adda_confusion (see DAConfig); the
+        main.py lineage's confusion-gradient NEGATION lives in its
+        discriminator flavor (FrameDiscriminatorGRL with apply_grl=True,
+        mirroring CRNN.py:80-89,104)."""
         k_fwd1, k_fwd2, k_d, k_c, k_choice1, k_choice2 = jax.random.split(
             key, 6)
 
         def run(state):
             # --- discriminator step on detached features; forward order is
-            # REAL then SYN (main_scmt.py:317-323), which fixes the BN
-            # batch-stat update sequence
+            # REAL then SYN (main_scmt.py:317-323, main.py:268-272), which
+            # fixes the BN batch-stat update sequence; the discriminator
+            # forwards run on the FULL batch (predictions are subset after)
+            choice_d = sample_adda_choice(k_choice1, x_real.shape[0])
+
             def d_loss_fn(disc_params):
                 ka, kb = jax.random.split(k_fwd1)
                 _, _, r_f, stats = model_fwd(state.params,
                                              state.batch_stats, x_real, ka)
                 _, _, syn_f, stats = model_fwd(state.params, stats, x_syn,
                                                kb)
-                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
-                                       k_d)
+                dapply, dcell = disc_apply_fn(disc_params,
+                                              state.disc_batch_stats, k_d)
+                d_real = dapply(jax.lax.stop_gradient(r_f))
+                d_syn = dapply(jax.lax.stop_gradient(syn_f))
                 return da_losses.adda_discriminator_loss(
-                    dapply, k_choice1, r_f, syn_f, cfg.da.adv_weight), stats
-            (dl, stats_after), g_disc = jax.value_and_grad(
+                    d_real, d_syn, choice_d, cfg.da.adv_weight,
+                    cfg.da.adda_disc_labels), (stats, dcell["stats"])
+            (dl, (stats_after, dstats)), g_disc = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.disc_params)
             disc_updates, disc_opt = modules.disc_optimizer.update(
                 g_disc, state.disc_opt_state, state.disc_params)
             disc_params = optax.apply_updates(state.disc_params, disc_updates)
 
-            # --- feature-extractor confusion step: the reference forwards
-            # ONLY the real stream here (main_scmt.py:353-356 — the syn
-            # forward is commented out)
+            # --- feature-extractor confusion step: main_scmt forwards ONLY
+            # the real stream and subsets a fresh random half batch
+            # (:353-366); main.py forwards only the real stream at FULL
+            # batch (:295-326); scmt_ada_origin's written intent is the syn
+            # stream vs flipped labels (:461-466)
+            syn_conf = cfg.da.adda_confusion == "syn_flipped"
+            conf_choice = (sample_adda_choice(k_choice2, x_real.shape[0])
+                           if cfg.da.adda_confusion == "half" else None)
+
             def c_loss_fn(enc_params):
                 params = {"encoder": enc_params,
                           "predictor": state.params["predictor"]}
-                _, _, r_f, stats = model_fwd(params, stats_after, x_real,
-                                             k_fwd2)
-                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
-                                       k_c)
+                _, _, f, stats = model_fwd(
+                    params, stats_after, x_syn if syn_conf else x_real,
+                    k_fwd2)
+                dapply, dcell = disc_apply_fn(disc_params, dstats, k_c)
+                d_conf = dapply(f)
                 return da_losses.adda_confusion_loss(
-                    dapply, k_choice2, r_f, cfg.da.adv_weight), stats
-            (cl, new_stats), g_enc = jax.value_and_grad(
+                    d_conf, conf_choice, cfg.da.adv_weight,
+                    flipped=syn_conf), (stats, dcell["stats"])
+            (cl, (new_stats, dstats2)), g_enc = jax.value_and_grad(
                 c_loss_fn, has_aux=True)(state.params["encoder"])
             enc_updates, enc_opt = modules.enc_optimizer.update(
                 g_enc, state.enc_opt_state, state.params["encoder"])
@@ -485,7 +537,8 @@ def make_train_step(modules: TrainModules,
             return state.replace(
                 params={**state.params, "encoder": enc_params},
                 batch_stats=new_stats,
-                disc_params=disc_params, disc_opt_state=disc_opt,
+                disc_params=disc_params, disc_batch_stats=dstats2,
+                disc_opt_state=disc_opt,
                 enc_opt_state=enc_opt), dl + cl
 
         def skip(state):
@@ -879,19 +932,22 @@ def make_train_step(modules: TrainModules,
                 grl_coeff = warm_start_lambda(
                     state.step, cfg.da.grl_alpha, cfg.da.grl_lo,
                     cfg.da.grl_hi, cfg.da.grl_max_iters)
-                dapply = disc_apply_fn(disc_params, state.disc_batch_stats,
-                                       k_da)
+                dapply, dcell = disc_apply_fn(disc_params,
+                                              state.disc_batch_stats, k_da)
                 dl = _grl_domain_loss(dapply, syn_strong, syn_enc,
                                       r_strong, r_enc, grl_coeff)
                 m["domain_loss"] = dl
                 loss = loss + cfg.da.adv_weight * dl
+                m["loss"] = loss
+                return loss, (stats, m, dcell["stats"])
 
             m["loss"] = loss
             return loss, (stats, m)
 
         if joint_da:
             # single combined backward updating model AND discriminator
-            (loss, (new_stats, loss_metrics)), (grads, disc_grads) = \
+            (loss, (new_stats, loss_metrics, new_disc_stats)), \
+                (grads, disc_grads) = \
                 jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                     state.params, state.disc_params)
             disc_updates, new_disc_opt = modules.disc_optimizer.update(
@@ -899,6 +955,7 @@ def make_train_step(modules: TrainModules,
             state = state.replace(
                 disc_params=optax.apply_updates(state.disc_params,
                                                 disc_updates),
+                disc_batch_stats=new_disc_stats,
                 disc_opt_state=new_disc_opt)
         else:
             (loss, (new_stats, loss_metrics)), grads = jax.value_and_grad(

@@ -287,7 +287,7 @@ def _torch_grad_tree(cfg, crnn, predictor):
 
 
 def _assert_tree_close(ours, ref, what, tol, grad_tree=None,
-                       noise_bound=None):
+                       noise_bound=None, noise_grad_thresh=1e-6):
     """Leaf-for-leaf |Δ| ≤ tol — except, when ``grad_tree`` (the torch
     side's last-step gradients, same tree layout) is given, leaves whose
     gradient is pure cancellation noise get ``noise_bound`` instead.
@@ -299,15 +299,25 @@ def _assert_tree_close(ours, ref, what, tol, grad_tree=None,
     (eps = 1e-8), turning that noise into ±lr-scale steps of arbitrary,
     implementation-dependent sign. No implementation can match these leaves
     tighter than the Adam step bound (n_steps · lr); their drift is also
-    inert downstream (BN re-absorbs the bias in every forward)."""
+    inert downstream (BN re-absorbs the bias in every forward).
+
+    When the SAME parameters are stepped by SEVERAL independent optimizer
+    chains in one epoch (ADDA: the encoder takes the confusion Adam AND the
+    main Adam), pass a LIST of (grad_tree, noise_bound) per chain: an
+    element is sign-unstable chain-by-chain, so its bound is tol plus each
+    noise chain's step envelope — a leaf can be well-determined under the
+    main loss yet pure cancellation noise under the domain loss."""
     flat_o = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
               jax.tree_util.tree_flatten_with_path(ours)[0]}
     flat_r = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
               jax.tree_util.tree_flatten_with_path(ref)[0]}
-    flat_g = {}
-    if grad_tree is not None:
-        flat_g = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
-                  jax.tree_util.tree_flatten_with_path(grad_tree)[0]}
+    if grad_tree is not None and not isinstance(grad_tree, list):
+        grad_tree = [(grad_tree, noise_bound, noise_grad_thresh)]
+    chains = []
+    for tree, nb_i, thresh_i in (grad_tree or []):
+        chains.append(({jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                        jax.tree_util.tree_flatten_with_path(tree)[0]},
+                       nb_i, thresh_i))
     assert set(flat_o) == set(flat_r), what
     worst = ("", 0.0)
     for key in sorted(flat_o):
@@ -315,34 +325,46 @@ def _assert_tree_close(ours, ref, what, tol, grad_tree=None,
         err = float(np.max(delta))
         if err > worst[1]:
             worst = (key, err)
-        if key in flat_g:
+        bound = np.asarray(tol)
+        for flat_g, nb_i, thresh_i in chains:
+            if key not in flat_g:
+                continue
             # elementwise: a single near-zero-gradient ELEMENT inside an
             # otherwise well-determined kernel is just as sign-unstable
-            bound = np.where(np.abs(flat_g[key]) < 1e-6, noise_bound, tol)
-        else:
-            bound = tol
+            bound = bound + np.where(np.abs(flat_g[key]) < thresh_i,
+                                     nb_i, 0.0)
         bad = delta > bound
-        assert not bad.any(), (
-            f"{what} {key}: |Δ| {float(delta[bad].max())} > bound "
-            f"(worst grad there "
-            f"{float(np.abs(flat_g[key])[bad].max()) if key in flat_g else 'n/a'})")
+        if bad.any():
+            grads_at_bad = [float(np.abs(g[key])[bad].max())
+                            if key in g else None for g, _, _ in chains]
+            raise AssertionError(
+                f"{what} {key}: |Δ| {float(delta[bad].max())} > bound "
+                f"(worst grad per chain there {grads_at_bad})")
     return worst
 
 
 def _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
-                          lr, tol=5e-5):
+                          lr, tol=5e-5, noise_grad_thresh=1e-6, nb=None,
+                          extra_chains=()):
     """Shared post-epoch state comparison. fp32 torch-CPU vs XLA-CPU drift
     through N_STEPS Adam/SGD steps: loss agrees to ~1e-6; real-gradient
     leaves land within ~2.3e-5 (measured); analytically-zero-gradient
     leaves (see _assert_tree_close) are bounded by the optimizer step size
     N_STEPS·lr instead. Any wiring error (a loss term, a ramp, an EMA step)
-    lands orders above both bounds."""
+    lands orders above both bounds.
+
+    ``extra_chains``: additional (grad_tree, noise_bound, noise_thresh)
+    triples for params that a SECOND optimizer also stepped this epoch
+    (ADDA's confusion Adam into the encoder) — see _assert_tree_close."""
     grads = _torch_grad_tree(cfg, crnn, predictor)
-    nb = 1.1 * N_STEPS * lr
+    if nb is None:
+        nb = 1.1 * N_STEPS * lr
+    chains = [(grads, nb, noise_grad_thresh)] + list(extra_chains)
     ref_params, ref_stats = _torch_tree(cfg, crnn, predictor)
     ref_ema_params, ref_ema_stats = _torch_tree(cfg, crnn_ema, pred_ema)
     _assert_tree_close(state.params, ref_params, "student params", tol,
-                       grad_tree=grads, noise_bound=nb)
+                       grad_tree=chains,
+                       noise_grad_thresh=noise_grad_thresh)
     # BN running stats are a DETERMINISTIC function of params + data, so
     # their discriminative power is secondary to the params asserts — and
     # they amplify the allowed param drift (9-tap convs over ~30 dB-scale
@@ -350,14 +372,17 @@ def _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
     # noise-bounded conv bias 1:1 at reference momentum 0.99). Wiring
     # errors here (wrong momentum, an extra/missing forward) are
     # batch-scale O(1) events, far above the nb bound.
-    _assert_tree_close(state.batch_stats, ref_stats, "BN running stats", nb)
+    nb_total = nb + sum(c[1] for c in extra_chains)
+    _assert_tree_close(state.batch_stats, ref_stats, "BN running stats",
+                       nb_total)
     _assert_tree_close(state.ema_params, ref_ema_params, "EMA params", tol,
-                       grad_tree=grads, noise_bound=nb)
+                       grad_tree=chains,
+                       noise_grad_thresh=noise_grad_thresh)
     _assert_tree_close(state.ema_batch_stats, ref_ema_stats,
-                       "EMA running stats", nb)
+                       "EMA running stats", nb_total)
 
 
-def _replay_shifts(monkeypatch, n_steps, time_max=64):
+def _replay_shifts(monkeypatch, n_steps, time_max=64, n_batch=B_SYN):
     """Pre-compute the exact random.randint draws train_mt will make
     (main_baseline.py:232-233: batch_size time draws ×4, then batch_size
     freq draws, per step; ±32 for the scmt lineage, main_scmt.py:205) and
@@ -367,8 +392,8 @@ def _replay_shifts(monkeypatch, n_steps, time_max=64):
     rr = random.Random(SEED)
     per_step = []
     for _ in range(n_steps):
-        t = [rr.randint(-time_max, time_max) for _ in range(B_SYN)]
-        f = [rr.randint(-4, 4) for _ in range(B_SYN)]
+        t = [rr.randint(-time_max, time_max) for _ in range(n_batch)]
+        f = [rr.randint(-4, 4) for _ in range(n_batch)]
         per_step.append((jnp.asarray([s * 4 for s in t], jnp.int32),
                          jnp.asarray(t, jnp.int32),
                          jnp.asarray(f, jnp.int32)))
@@ -685,3 +710,216 @@ def test_scmt_ada_weak_joint_da_epoch_matches_reference(mb_ada_weak,
         {k: v.detach().numpy() for k, v in tdisc.state_dict().items()})
     _assert_tree_close(state.disc_params, ref_disc_p,
                        "discriminator params", 5e-5)
+
+
+def _replay_adda_choices(monkeypatch, np_seed, n_steps, update_step=2):
+    """Pre-compute the exact np.random.choice draws main_scmt.py's ADDA
+    blocks make on ADDA-active steps (discriminator :327
+    ``np.random.choice(12, 6, replace=False)`` then confusion :364
+    ``np.random.choice(batch_size, batch_size//2, replace=False)``) and
+    feed them into our step. lax.cond traces BOTH branches every step, so
+    the fake must also yield (unused) draws on skipped steps, in the same
+    call order (choice_d then conf_choice inside ``run``)."""
+    import bsed_tpu.train.steps as steps_mod
+
+    rs = np.random.RandomState(np_seed)
+    per_call = []
+    for i in range(n_steps):
+        if i % update_step == 0:
+            per_call.append(rs.choice(12, 6, replace=False))
+            per_call.append(rs.choice(12, 6, replace=False))
+        else:   # traced-but-skipped branch: values never reach the output
+            per_call.append(np.zeros(6, np.int64))
+            per_call.append(np.zeros(6, np.int64))
+    calls = iter([jnp.asarray(c, jnp.int32) for c in per_call])
+
+    def fake(rng, batch_size):
+        return next(calls)
+
+    monkeypatch.setattr(steps_mod, "sample_adda_choice", fake)
+
+
+def test_scmt_adda_adaptation_epoch_matches_reference(mb_scmt, tmp_path,
+                                                      monkeypatch):
+    """main_scmt.py ADAPTATION epoch (clip-level ADDA + MT + SCT): pins the
+    alternating three-optimizer update against the real script —
+    Clip_Discriminator step on detached real+syn encodings with the shared
+    ``np.random.choice(12,6)`` subset and the degenerate all-target labels
+    (:276-278, :312-338), the encoder-confusion step on a fresh half-batch
+    of the real stream vs all-source labels stepping the SEPARATE
+    optimizer_crnn Adam (:343-371), the ``global_step % 2`` gating (:311),
+    adv_w 2.5, the student-BN threading of the extra ADDA forwards
+    (real→syn→real BEFORE the main syn→real forwards), the discriminator's
+    own BatchNorm running-stat threading across its three train-mode
+    forwards, and the untouched MT+SCT main update on top — leaf-for-leaf
+    on student, teacher, AND discriminator params.
+
+    ONE-step epoch by design: step 0 runs the complete ADDA round (both
+    alternating updates + the main update), so the post-epoch state pins
+    every ADDA gradient path at FIRST-Adam-step resolution, where
+    ``lr·m̂/√v̂ ≈ lr·sign(g)`` is sign-stable for every |g| > 1e-6 and the
+    5e-5 bound is decisive. Multi-step chains put many elements into the
+    cross-step gradient-cancellation regime where the normalized update
+    direction flips under fp32 backend drift (measured here: 2-step drift
+    up to 1.7·lr on elements whose per-step grads nearly cancel), which
+    would force bounds too loose to distinguish a mis-wired update; the
+    multi-step dynamics shared with ADDA-less presets (EMA ticking, ramp,
+    skip branch) are pinned by the other five epoch tests and
+    test_adda_alternating_runs."""
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    mb = mb_scmt
+    N = 1           # one-step epoch — see docstring
+    B = 12          # makes the reference's HARD-CODED 12-row domain-label
+    NP_SEED = 77    # block (:276-277) and choice(12,6) (:327) line up with
+                    # the true batch — at cfg.batch_size=24 they silently
+                    # cover only the first half of each stream
+    mb.f_args = types.SimpleNamespace(level="clip")
+    cfg = get_config("scmt")
+    assert cfg.da.mode == "adda" and cfg.da.level == "clip"
+    assert cfg.da.adda_disc_labels == "all_target"
+    assert cfg.da.adda_confusion == "half"
+    assert cfg.da.adv_weight == 2.5 and cfg.da.update_step == 2
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, max_len_seconds=2.04,
+                                  noise_snr=None),
+        model=dataclasses.replace(cfg.model, dropout=0.0,
+                                  dropout_recurrent=0.0),
+        train=dataclasses.replace(
+            cfg.train, stage="adaptation",
+            max_learning_rate=float(mb.cfg.default_learning_rate),
+            n_epoch_rampup=int(mb.cfg.n_epoch_rampup),
+            max_consistency_cost=float(mb.cfg.max_consistency_cost)))
+    assert not cfg.train.adjust_lr    # data/config.py:97 — constant lr
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(6))
+
+    crnn, predictor = _torch_models_from_state(
+        mb, cfg, state.params, state.batch_stats, tmp_path, "student")
+    crnn_ema, pred_ema = _torch_models_from_state(
+        mb, cfg, state.ema_params, state.ema_batch_stats, tmp_path,
+        "teacher")
+    for p in list(crnn_ema.parameters()) + list(pred_ema.parameters()):
+        p.detach_()
+    tdisc = mb.Clip_Discriminator(input_dim=256 * 20, dropout=0.5)
+    tdisc.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         tc.export_clip_discriminator(state.disc_params,
+                                      state.disc_batch_stats).items()},
+        strict=True)
+    tdisc.train()
+    # three SEPARATE Adams at the constant construction lr
+    # (main_scmt.py:923-930)
+    adam_kw = dict(lr=float(mb.cfg.default_learning_rate),
+                   betas=(0.9, 0.999))
+    optim = torch.optim.Adam(
+        filter(lambda p: p.requires_grad,
+               list(crnn.parameters()) + list(predictor.parameters())),
+        **adam_kw)
+    optim_crnn = torch.optim.Adam(crnn.parameters(), **adam_kw)
+    optim_d = torch.optim.Adam(tdisc.parameters(), **adam_kw)
+
+    rng = np.random.default_rng(13)
+
+    def lin(n):
+        return rng.uniform(0.05, 4.0, (n, T_IN, N_MELS)).astype(np.float32)
+
+    def strong(n):
+        return (rng.random((n, T_POOL, N_CLASS)) > 0.92).astype(np.float32)
+
+    real_lin, real_strong = lin(N * B), strong(N * B)
+    syn_lin, syn_strong = lin(N * B), strong(N * B)
+
+    def dl(feats, targets):
+        return torch.utils.data.DataLoader(
+            _FixtureSet(_logmel(feats)[:, None], targets), batch_size=B,
+            shuffle=False)
+
+    monkeypatch.setattr(mb.cfg, "batch_size", B)
+    random.seed(SEED)
+    np.random.seed(NP_SEED)
+    ref_loss = mb.train_mt(
+        dl(real_lin, real_strong), dl(syn_lin, syn_strong), crnn, optim, 0,
+        ema_model=crnn_ema, ema_predictor=pred_ema,
+        mask_weak=None, mask_strong=None, adjust_lr=mb.cfg.adjust_lr,
+        predictor=predictor, discriminator=tdisc, optimizer_d=optim_d,
+        optimizer_crnn=optim_crnn, ISP=True)
+
+    _replay_shifts(monkeypatch, N, time_max=32, n_batch=B)
+    _replay_adda_choices(monkeypatch, NP_SEED, N,
+                         update_step=cfg.da.update_step)
+    step_fn = make_train_step(modules, steps_per_epoch=N, jit=False)
+    epoch = jnp.asarray(0.0, jnp.float32)
+    metrics = None
+    for i in range(N):
+        sl = slice(i * B, (i + 1) * B)
+        batch = {
+            "syn": jnp.asarray(syn_lin[sl]),
+            "syn_strong": jnp.asarray(syn_strong[sl]),
+            "real": jnp.asarray(real_lin[sl]),
+            "real_weak": jnp.asarray(real_strong[sl].max(axis=1)),
+            "real_strong": jnp.asarray(real_strong[sl]),
+        }
+        state, metrics = step_fn(state, batch, jax.random.key(9), epoch)
+
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 2e-5, \
+        f"last-step loss: ours {float(metrics['loss'])} ref {float(ref_loss)}"
+    lr = float(mb.cfg.default_learning_rate)
+    # The encoder took TWO first-Adam-steps this epoch from INDEPENDENT
+    # optimizers — the confusion optimizer_crnn (:371) and the main optim
+    # (:618) — and a leaf can be well-determined under one loss yet pure
+    # cancellation noise under the other (e.g. conv kernels the clip
+    # discriminator's pooled view barely sees). Each noise chain takes a
+    # ±lr step of implementation-dependent sign ON EACH SIDE, so its
+    # envelope is 2.2·lr per chain (both sides opposing; measured: conv
+    # biases — zero grad under BOTH losses — drift to 2.77·lr).
+    # Wiring-bearing leaves stay at tol = 5e-5. The confusion-chain
+    # gradients are recovered from optimizer_crnn's first-step Adam moment
+    # (exp_avg = (1−β₁)·g = 0.1·g).
+    name_of = {id(p): n for n, p in crnn.named_parameters()}
+    conf_g = {}
+    for p in crnn.parameters():
+        ea = optim_crnn.state.get(p, {}).get("exp_avg")
+        conf_g[name_of[id(p)]] = (
+            np.asarray(ea.detach().numpy(), np.float32) / 0.1
+            if ea is not None else np.zeros(tuple(p.shape), np.float32))
+    conf_sd = {k: conf_g.get(k, np.zeros(tuple(v.shape), np.float32))
+               for k, v in crnn.state_dict().items()}
+    enc_conf, _ = tc.convert_crnn(
+        conf_sd, n_blocks=len(cfg.model.nb_filters),
+        num_layers_rnn=cfg.model.n_layers_rnn,
+        activation=cfg.model.activation, fpn=False)
+    # the predictor is NOT touched by the confusion chain → mark every
+    # leaf well-determined there (contributes no extra bound)
+    pred_ones = jax.tree.map(lambda a: np.ones(np.shape(a), np.float32),
+                             jax.tree.map(np.asarray,
+                                          state.params["predictor"]))
+    conf_tree = {"encoder": enc_conf, "predictor": pred_ones}
+    # conf-chain noise threshold 1e-5 (vs 1e-6): the confusion loss's
+    # fp-cancellation residue is itself ~100× larger (adv_w 2.5 through
+    # the clip discriminator's pooled activations) — measured 2.2e-6 on
+    # conv biases, which are ANALYTICALLY zero under both losses
+    _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
+                          lr=lr, nb=2.2 * lr,
+                          extra_chains=[(conf_tree, 2.2 * lr, 1e-5)])
+    ref_disc_p, ref_disc_s = tc.convert_clip_discriminator(
+        {k: v.detach().numpy() for k, v in tdisc.state_dict().items()})
+    # two-sided envelope: each side's first Adam step on a zero-gradient
+    # leaf is ±lr with INDEPENDENT fp-noise sign (measured: 1.99·lr)
+    nb = 2.2 * N * float(mb.cfg.default_learning_rate)
+    # the reference zeroes disc grads before the last main backward
+    # (main_scmt.py:377), so the leftover .grad tensors carry no signal —
+    # mark the ANALYTICALLY zero-gradient leaves instead: conv biases feed
+    # BatchNorm (batch-mean subtraction absorbs any bias shift), so their
+    # Adam update is fp-cancellation noise (see _assert_tree_close); every
+    # other leaf (conv weights, BN affines, dense head) is well-determined
+    gp = jax.tree.map(np.ones_like, ref_disc_p)
+    for i in range(1, 6):
+        blk = gp["convs"][f"conv_{i}"]
+        blk["bias"] = np.zeros_like(blk["bias"])
+    _assert_tree_close(state.disc_params, ref_disc_p,
+                       "discriminator params", 5e-5, grad_tree=gp,
+                       noise_bound=nb)
+    _assert_tree_close(state.disc_batch_stats, ref_disc_s,
+                       "discriminator running stats", nb)
