@@ -253,7 +253,14 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
             break
         if f % pf != 0:
             raise ValueError(f"block{i}: pool {pf} does not divide fold {f}")
-        plan.append((i, cin, cout, pt, pf, f))
+        # frequency pooling as the same constant averaging matmul the
+        # serving stem uses (``_freq_pool_matrix``): profiled on v5e, the
+        # reshape(..., fi//pf, pf, co).mean(axis) form cost ~10 ms/step of
+        # the MT+ISP train step (half of it pure layout copies in the
+        # backward); the 128-lane matmul fuses cleanly fwd AND bwd.
+        pool_w = (jnp.asarray(_freq_pool_matrix(f, pf, cout))
+                  if pf > 1 else None)
+        plan.append((i, cin, cout, pt, pf, f, pool_w))
         f //= pf
         cin = cout
     n_folded = len(plan)
@@ -269,7 +276,7 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
         h = x.reshape(b, t, n_f // fold0, fold0).astype(dtype)
         new_stats = {}
         rng = dropout_rng
-        for (i, ci, co, pt, pf, fi) in plan:
+        for (i, ci, co, pt, pf, fi, pool_w) in plan:
             p = cnn_params[f"block{i}"]
             s = cnn_stats[f"block{i}"]
             k = _fold_kernel_jnp(p["conv"]["kernel"].astype(dtype), fi)
@@ -320,10 +327,8 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
 
             if pt > 1:
                 h = fast_avg_pool(h, (pt, 1))
-            if pf > 1:
-                b2, t2, g2, _ = h.shape
-                h = h.reshape(b2, t2, g2, fi // pf, pf, co).mean(axis=4)
-                h = h.reshape(b2, t2, g2, (fi // pf) * co)
+            if pool_w is not None:
+                h = h @ pool_w.astype(h.dtype)
 
         # unfold (B, T', G, f_rem·C) → (B, T', G·f_rem, C)
         b2, t2, g2, _ = h.shape

@@ -17,10 +17,22 @@ possible association, and /2 is an exact exponent shift. Two-axis windows
 can differ by an ulp; parity tests hold at 1e-6. Semantics are always
 VALID padding, stride = window (the only configuration the model family
 uses, CNN.py:62-66).
+
+Backward: autodiff of the strided slices lowers on TPU as gather (forward)
+/ scatter-add (transpose) with materialized s32 index vectors — profiled
+at ~8.8 ms of a 63 ms MT+ISP train step. The ``custom_vjp`` below replaces
+the transpose with the closed form: every input inside a window receives
+``g / (kt·kf)``, i.e. a broadcast repeat along the pooled axes plus a zero
+pad over the VALID-dropped remainder. This is EXACTLY the cotangent the
+slice-based autodiff computes (each window element's coefficient is
+1/(kt·kf); /2ᵏ is an exact exponent shift), just without the scatter.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -42,18 +54,49 @@ def _pool_axis(x, axis: int, k: int):
     return parts[0]
 
 
-def fast_avg_pool(x, window):
-    """Mean pool over (time, freq) = axes (1, 2) of an NHWC tensor with
-    stride == window and VALID padding — ``nn.avg_pool`` semantics."""
-    kt, kf = int(window[0]), int(window[1])
-    if kt <= 1 and kf <= 1:
-        return x
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fast_avg_pool(x, kt: int, kf: int):
     y = x
     if kt > 1:
         y = _pool_axis(y, 1, kt)
     if kf > 1:
         y = _pool_axis(y, 2, kf)
     return y / jnp.asarray(kt * kf, y.dtype)
+
+
+def _fast_avg_pool_fwd(x, kt: int, kf: int):
+    return _fast_avg_pool(x, kt, kf), x.shape
+
+
+def _expand_axis(g, axis: int, k: int, n: int):
+    """Repeat ``g`` k× along ``axis`` and zero-pad up to length ``n``."""
+    if k > 1:
+        g = jnp.repeat(g, k, axis=axis)
+    pad = n - g.shape[axis]
+    if pad:
+        cfg = [(0, 0, 0)] * g.ndim
+        cfg[axis] = (0, pad, 0)
+        g = jax.lax.pad(g, jnp.zeros((), g.dtype), cfg)
+    return g
+
+
+def _fast_avg_pool_bwd(kt: int, kf: int, x_shape, g):
+    g = g / jnp.asarray(kt * kf, g.dtype)
+    g = _expand_axis(g, 1, kt, x_shape[1])
+    g = _expand_axis(g, 2, kf, x_shape[2])
+    return (g,)
+
+
+_fast_avg_pool.defvjp(_fast_avg_pool_fwd, _fast_avg_pool_bwd)
+
+
+def fast_avg_pool(x, window):
+    """Mean pool over (time, freq) = axes (1, 2) of an NHWC tensor with
+    stride == window and VALID padding — ``nn.avg_pool`` semantics."""
+    kt, kf = int(window[0]), int(window[1])
+    if kt <= 1 and kf <= 1:
+        return x
+    return _fast_avg_pool(x, kt, kf)
 
 
 def avg_pool(x, window):
