@@ -20,10 +20,24 @@ block_until_ready were dispatch-only artifacts (~100× optimistic); serving
 numbers were unaffected (re-measured identical under both barriers).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache (same directory the test suite uses,
+# conftest.py): the bench is compile-bound on a cold process — the serving
+# program + train step + epoch scan are each 20-40 s compiles on the
+# tunneled backend — and the cache is keyed by HLO+backend so repeat runs
+# skip straight to execution.
+try:
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.path.expanduser("~/.cache/bsed_jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 CLIP_SAMPLES = 320000   # 10 s @ 32 kHz
