@@ -128,11 +128,17 @@ def _dataset_loaders(cfg, args):
     # multi-host SPMD: each process feeds its own strided slice of every
     # stream (run under jax.distributed.initialize(); on a single host this
     # is (0, 1) — a no-op). The Trainer builds the device mesh itself.
+    # the origin lineage trains on the COMBINED real batch (¼ weak +
+    # ½ unlabeled + ¼ syn-strong rows, main.py:729-741) — see
+    # ThreeStreamLoader layout="origin"
+    layout = ("origin" if cfg.train.isp and
+              cfg.train.isp_flavor == "origin" else "default")
     train_loader = ThreeStreamLoader(syn, weak, unlab,
                                      batch_size=cfg.train.batch_size,
                                      seed=cfg.train.seed,
                                      process_index=jax.process_index(),
-                                     process_count=jax.process_count())
+                                     process_count=jax.process_count(),
+                                     layout=layout)
     val_loader = EvalLoader(val, batch_size=cfg.train.batch_size)
     syn_eval = EvalLoader(syn, batch_size=cfg.train.batch_size)
     return train_loader, val_loader, syn_eval

@@ -140,6 +140,17 @@ class DAConfig:
     # (default_learning_rate, == max lr) forever (main_scmt.py:923-930).
     # 1.0 reproduces that; other values are an exposed experiment knob.
     aux_lr_factor: float = 1.0
+    # Optimizer FAMILY for the aux (discriminator / encoder-confusion)
+    # optimizers when it differs from the main one: two scripts mix
+    # families at HEAD — main_sct_ada_weak.py (main Adam :837-841, aux SGD
+    # momentum/nesterov/wd :835-845) and pseudo_labeling_main.py (main Adam
+    # :817-822, disc SGD :814-825, stepped by the joint backward :570-571).
+    # "" = inherit cfg.train.optimizer.
+    aux_optimizer: str = ""
+    # Discriminator dropout — the reference's discriminator_kwargs carry
+    # their own rate (0.5, main_baseline.py:671), independent of the model
+    # dropout; exposed so deterministic parity tests can zero it.
+    disc_dropout: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +192,13 @@ class TrainConfig:
     # At epoch 10 the two differ ~10× (0.04 vs 0.004 of max cost).
     cost_ramp: str = "sigmoid_epoch"
     ema_alpha: float = 0.999
+    # EMA update scope — the reference has TWO update_ema_variables
+    # flavors: "state_dict" averages parameters AND BatchNorm running
+    # stats (main_baseline.py:91-105, main.py:91-100 — every train_mt
+    # script); "params" is main_origin.py:86-89's parameter-wise in-place
+    # EMA, which leaves the teacher's running stats to evolve only through
+    # its own train-mode forwards.
+    ema_scope: str = "state_dict"
     mean_teacher: bool = False
     isp: bool = False                 # shift-consistency training (SCT)
     mixup: bool = False               # ICT mixup (main.py lineage)
@@ -443,10 +461,18 @@ PRESETS = {
     # val-fitted scaler, :696-699). main_origin.py itself crashes at HEAD
     # on the undefined cfg.syn_or_not (:620) — main.py is the preset's
     # runnable anchor.
+    # The masked ICT epoch's runnable anchor is main_origin.py's train()
+    # (ONE combined ¼weak+½unl+¼strong loader :173, masks live,
+    # target_weak defined :316, params-only EMA :86-89) — main.py's own
+    # masked branch is bit-rotted at HEAD (train_mt never defines
+    # target_weak, :380 NameError) and its __main__ passes mask_weak=None
+    # (:954), under which -ISP dies at :486. Pinned by tests/
+    # test_reference_train_parity.py::test_origin_ict_epoch….
     "origin": _cfg("origin",
                    train={"mean_teacher": True, "isp": True, "mixup": True,
                           "cost_ramp": "exp_step", "time_shift_max": 32,
                           "normalize": True, "isp_flavor": "origin",
+                          "ema_scope": "params",
                           "real_weak_bce": "none"},
                    # main.py's frame-level ADDA is the lineage's RUNNABLE
                    # one (Frame_Discriminator(input_dim=256), main.py:640):
@@ -496,21 +522,25 @@ PRESETS = {
                           da={"mode": "cdan", "level": "clip",
                               "joint_backward": True,
                               "randomized_dim": 8192}),
-    # main_sct_ada_weak.py: SCT + DANN, SGD. mean_teacher is ON because
+    # main_sct_ada_weak.py: SCT + DANN. mean_teacher is ON because
     # the script's runnable -ISP invocation passes the EMA twins (:975) and
     # then ADDS the MT weak/strong consistencies (:503) — the no-teacher
     # call (:980) with ISP crashes on the undefined consistency_cost
     # (:512), so "SCT-only" is unreachable at HEAD. The "sct" flavor keeps
     # the script's reduced ISP sum (no weak-freq term, no teacher shift
     # terms, single-term syn self consistency, :510-513) and the
-    # real[:half] weak BCE (:419-423).
+    # real[:half] weak BCE (:419-423). Optimizers at HEAD: main = Adam at
+    # default_learning_rate (:837-841, the SGD kwargs/line are commented),
+    # aux = SGD(momentum .9, nesterov, wd 1e-4) (:835-845) — pinned by
+    # tests/test_reference_train_parity.py::test_sct_ada_weak_epoch…
     "sct_ada_weak": _cfg("sct_ada_weak",
                          train={"isp": True, "mean_teacher": True,
-                                "pseudo_labels": True, "optimizer": "sgd",
+                                "pseudo_labels": True,
                                 "cost_ramp": "exp_step",
                                 "isp_flavor": "sct",
                                 "real_weak_bce": "half"},
-                         da={"mode": "dann", "joint_backward": True}),
+                         da={"mode": "dann", "joint_backward": True,
+                             "aux_optimizer": "sgd"}),
     # main_scmt_ada_weak_seperate.py: stage-2 resume with discriminator re-init.
     "scmt_ada_weak_separate": _cfg("scmt_ada_weak_separate",
                                    train={"mean_teacher": True,
@@ -530,12 +560,20 @@ PRESETS = {
                "optimizer": "sgd", "stage": "adaptation"},
         da={"mode": "cdan_frame", "level": "frame",
             "randomized_dim": 3130}),
-    # pseudo_labeling_main.py: CDAN with entropy conditioning; best on weak F1.
+    # pseudo_labeling_main.py: CDAN with entropy conditioning; best on weak
+    # F1. Its domain loss comes from the MAIN forwards' weak preds +
+    # flattened features (:332-335), is added into the combined loss
+    # (:524-525) and ONE backward steps the Adam main optimizer AND the SGD
+    # disc optimizer (:566-571). Weak BCE uses the labeled real HALF in
+    # both MT branches (:429-434). Pinned by tests/
+    # test_reference_train_parity.py::test_pseudo_labeling_entropy_cdan….
     "pseudo_labeling": _cfg("pseudo_labeling",
                             train={"mean_teacher": True, "pseudo_labels": True,
+                                   "real_weak_bce": "half",
                                    "best_metric": "weak_f1"},
                             da={"mode": "cdan", "entropy_conditioning": True,
-                                "joint_backward": True}),
+                                "joint_backward": True,
+                                "aux_optimizer": "sgd"}),
 }
 
 

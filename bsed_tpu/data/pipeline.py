@@ -76,7 +76,24 @@ class ThreeStreamLoader:
     def __init__(self, syn_dataset, weak_dataset=None, unlabeled_dataset=None,
                  batch_size: int = 12, seed: int = 2023, shuffle: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 device_resident: Optional[bool] = None):
+                 device_resident: Optional[bool] = None,
+                 layout: str = "default"):
+        # layout="origin": the main.py lineage's COMBINED real batch —
+        # ¼ weak + ½ unlabeled-PL + ¼ strong rows (the strong rows drawn
+        # from the SYN dataset: in the reference's DESED-style combined
+        # loader the strong-masked rows ARE the synthetic clips,
+        # main.py:729-741) with a separate full-size syn stream whose
+        # forward runs but whose predictions are unused (main.py:344-346).
+        # The batch then carries real (B), real_weak (B, C) and
+        # real_strong (B, Tf, C); weak-only target rows are broadcast over
+        # frames (their strong targets are never read by the step's masked
+        # losses). batch_size must be divisible by 4.
+        if layout not in ("default", "origin"):
+            raise ValueError(layout)
+        if layout == "origin" and batch_size % 4:
+            raise ValueError("layout='origin' needs batch_size % 4 == 0 "
+                             "(¼ weak + ½ unlabeled + ¼ strong rows)")
+        self.layout = layout
         self.syn = syn_dataset
         self.weak = weak_dataset
         self.unlab = unlabeled_dataset
@@ -189,6 +206,60 @@ class ThreeStreamLoader:
         except Exception:
             return False
 
+    def _items(self, dataset, ids):
+        feats, targets = [], []
+        arr = self._arrays_of(dataset)
+        if arr is not None:
+            f, t = arr[0][np.asarray(ids)], arr[1][np.asarray(ids)]
+            return np.asarray(f), np.asarray(t)
+        for i in ids:
+            it = dataset[i]
+            feats.append(it[0])
+            targets.append(it[1])
+        return np.stack(feats), np.stack(targets)
+
+    def _epoch_origin(self, epoch_idx: int):
+        """layout='origin' batches (see __init__). Host-side numpy path —
+        the origin lineage is not wired for the scanned-epoch fast path
+        (epoch_arrays returns None for it)."""
+        rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
+        syn_idx = self._host_indices(len(self.syn))
+        order = rng.permutation(len(syn_idx)) if self.shuffle \
+            else np.arange(len(syn_idx))
+        b4, b2 = self.batch_size // 4, self.batch_size // 2
+        weak_stream = self._stream(self.weak, b4, rng)
+        unlab_stream = self._stream(self.unlab, b2, rng)
+        strong_stream = self._stream(self.syn, b4, rng)
+
+        def as_strong(t, n_frames):
+            # weak-only rows: broadcast over frames (unused by the masked
+            # losses; keeps the batch a single static-shape tensor)
+            if t.ndim == 2:
+                return np.broadcast_to(t[:, None, :],
+                                       (t.shape[0], n_frames, t.shape[-1]))
+            return t
+
+        def as_weak(t):
+            return t.max(axis=1) if t.ndim == 3 else t
+
+        for b in range(len(self)):
+            ids = syn_idx[order[b * self.batch_size:
+                                (b + 1) * self.batch_size]]
+            syn_f, syn_t = self._items(self.syn, ids)
+            wf, wt = self._items(self.weak, next(weak_stream))
+            uf, ut = self._items(self.unlab, next(unlab_stream))
+            sf, st = self._items(self.syn, next(strong_stream))
+            n_frames = st.shape[1]
+            yield {
+                "syn": syn_f, "syn_strong": syn_t,
+                "real": np.concatenate([wf, uf, sf]),
+                "real_weak": np.concatenate(
+                    [as_weak(wt), as_weak(ut), as_weak(st)]),
+                "real_strong": np.concatenate(
+                    [as_strong(wt, n_frames), as_strong(ut, n_frames),
+                     st]),
+            }
+
     def epoch_arrays(self, epoch_idx: int
                      ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
         """(arrays, idx) for the scanned-epoch runner
@@ -200,6 +271,8 @@ class ThreeStreamLoader:
         the rng consumption order of ``epoch()`` (syn permutation first,
         then interleaved weak/unlab stream pulls), so the two paths see
         identical sample schedules."""
+        if self.layout == "origin":
+            return None          # origin feeds through _epoch_origin
         syn_arr = self._arrays_of(self.syn)
         if syn_arr is None or isinstance(syn_arr[0], np.ndarray):
             return None
@@ -238,6 +311,9 @@ class ThreeStreamLoader:
         return arrays, idx
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        if self.layout == "origin":
+            yield from self._epoch_origin(epoch_idx)
+            return
         rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
         syn_idx = self._host_indices(len(self.syn))
         order = rng.permutation(len(syn_idx)) if self.shuffle \

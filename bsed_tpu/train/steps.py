@@ -72,9 +72,11 @@ class TrainModules:
     norm_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
 
-def _base_optimizer(cfg: Config):
+def _base_optimizer(cfg: Config, family: Optional[str] = None):
+    """``family`` overrides cfg.train.optimizer for the AUX optimizers —
+    two scripts mix families at HEAD (DAConfig.aux_optimizer docstring)."""
     t = cfg.train
-    if t.optimizer == "adam":
+    if (family or t.optimizer) == "adam":
         def make(learning_rate):
             return optax.adam(learning_rate, b1=0.9, b2=0.999)
     else:  # SGD(momentum .9, nesterov, wd 1e-4) — main_scmt_ada_weak.py:854-862
@@ -114,24 +116,27 @@ def _make_discriminator(cfg: Config):
         if cfg.da.adda_confusion == "syn_flipped":
             # scmt_ada_origin's CRNN_GRL import carries no internal GRL
             # (CRNN_GRL.py:116-140); 2 units to match its (…, 2) labels
-            return FrameDiscriminatorGRL(dropout=0.5, n_out=2,
-                                         apply_grl=False)
+            return FrameDiscriminatorGRL(dropout=cfg.da.disc_dropout,
+                                         n_out=2, apply_grl=False)
         # main.py lineage's runnable frame-level Frame_Discriminator
         # (CRNN.py:91-112): 256→1024→1024→2 sigmoid with grad_reverse at
         # the input — live in the confusion step, where it NEGATES the
         # gradient into the encoder (the disc step detaches features, so
         # the reversal is inert there)
-        return FrameDiscriminatorGRL(dropout=0.5, n_out=2, apply_grl=True)
+        return FrameDiscriminatorGRL(dropout=cfg.da.disc_dropout,
+                                     n_out=2, apply_grl=True)
     if mode == "cdan_frame":
-        return FrameDiscriminator(dropout=0.5)         # per-frame 1-unit
+        return FrameDiscriminator(dropout=cfg.da.disc_dropout)  # per-frame 1-unit
     if mode == "cdan":
         if level == "clip":
             return ClipDiscriminator()
         # 1-unit MLP over the (randomized) multilinear map; the loss
         # applies grad_reverse itself
-        return FrameDiscriminatorGRL(dropout=0.5, n_out=1, apply_grl=False)
+        return FrameDiscriminatorGRL(dropout=cfg.da.disc_dropout,
+                                     n_out=1, apply_grl=False)
     if mode == "dann":
-        return FrameDiscriminatorGRL(dropout=0.5, n_out=1, apply_grl=False)
+        return FrameDiscriminatorGRL(dropout=cfg.da.disc_dropout,
+                                     n_out=1, apply_grl=False)
     raise ValueError(mode)
 
 
@@ -170,14 +175,17 @@ def build_modules(cfg: Config, norm_stats=None) -> TrainModules:
         feat_dim = 2 * cfg.model.n_rnn_cell * cfg.n_frames
         rand_maps = da_losses.make_randomized_maps(
             feat_dim, cfg.nclass, cfg.da.randomized_dim, seed=cfg.train.seed)
+    aux_family = cfg.da.aux_optimizer or None
     return TrainModules(
         cfg=cfg,
         encoder=encoder,
         predictor=predictor,
         discriminator=disc,
         optimizer=_base_optimizer(cfg),
-        enc_optimizer=_base_optimizer(cfg) if disc is not None else None,
-        disc_optimizer=_base_optimizer(cfg) if disc is not None else None,
+        enc_optimizer=(_base_optimizer(cfg, aux_family)
+                       if disc is not None else None),
+        disc_optimizer=(_base_optimizer(cfg, aux_family)
+                        if disc is not None else None),
         rand_maps=rand_maps,
         norm_stats=(tuple(jnp.asarray(a, jnp.float32)[:, None]
                           for a in norm_stats)
@@ -346,6 +354,18 @@ def make_train_step(modules: TrainModules,
     # main_scmt_ada.py:402-405, main_scmt_ada_origin.py:539-542) — only the
     # syn stream runs shifted through the student
     isp_syn_only = t.isp_flavor in ("scmt", "scmt_ada")
+    # origin lineage (main.py): the ISP/ICT wiring is MASKED over ONE
+    # combined real batch — ¼ weak + ½ unlabeled-PL + ¼ strong rows
+    # (mask_weak / mask_unlabel=slice(6,18) / mask_strong at batch 24,
+    # main.py:224,363-377) — with a separate SYN stream whose forward runs
+    # but whose predictions are unused (:344-346); ONLY the real batch is
+    # shifted (:205-218), there are no teacher shift forwards, and the
+    # three ICT mixups act on the weak / strong / unlabeled row slices.
+    # NOTE main.py's own __main__ passes mask_weak=None (:954), under
+    # which -ISP raises NameError at :486 — the masked wiring is the
+    # lineage's runnable ICT semantics, pinned by
+    # tests/test_reference_train_parity.py::test_origin_ict…
+    origin_masks = isp and t.isp_flavor == "origin"
 
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
@@ -404,8 +424,14 @@ def make_train_step(modules: TrainModules,
         r_strong, r_weak, r_enc, stats = model_fwd(params, stats, x_real, k2)
         return syn_strong, syn_weak, syn_enc, r_strong, r_weak, r_enc, stats
 
-    def _grl_domain_loss(dapply, syn_s, syn_f, r_s, r_f, grl_coeff):
-        """Dispatch the configured GRL-based domain loss flavor."""
+    def _grl_domain_loss(dapply, syn_s, syn_w, syn_f, r_s, r_w, r_f,
+                         grl_coeff):
+        """Dispatch the configured GRL-based domain loss flavor. Every live
+        cdan/dann caller in the reference passes the WEAK (attention-
+        pooled) predictions as g (pseudo_labeling_main.py:335,
+        main_sct_ada_weak.py:326, ..._2_crnn.py:331) — only
+        main_baseline.py's cdan_frame passes strong preds, and there g is
+        computed-then-discarded (cdan_frame.py:92-95)."""
         if da_mode == "cdan_frame":
             return da_losses.cdan_frame_loss(dapply, syn_s, syn_f, r_s,
                                              r_f, grl_coeff)
@@ -419,9 +445,7 @@ def make_train_step(modules: TrainModules,
             fs = syn_f.reshape(syn_f.shape[0], -1)
             ft = r_f.reshape(r_f.shape[0], -1)
             rf, rg = modules.rand_maps
-            gs = syn_s.max(axis=1)
-            gt = r_s.max(axis=1)
-            return da_losses.cdan_loss(dapply, gs, fs, gt, ft, rf, rg,
+            return da_losses.cdan_loss(dapply, syn_w, fs, r_w, ft, rf, rg,
                                        cfg.da.entropy_conditioning,
                                        grl_coeff)
         # dann
@@ -441,12 +465,13 @@ def make_train_step(modules: TrainModules,
         def domain_loss_fn(enc_params, disc_params):
             params = {"encoder": enc_params,
                       "predictor": state.params["predictor"]}
-            (syn_s, _, syn_f, r_s, _, r_f,
+            (syn_s, syn_w, syn_f, r_s, r_w, r_f,
              stats) = _domain_features(params, state.batch_stats, x_syn,
                                        x_real, k_fwd)
             dapply, dcell = disc_apply_fn(disc_params,
                                           state.disc_batch_stats, k_disc)
-            dl = _grl_domain_loss(dapply, syn_s, syn_f, r_s, r_f, grl_coeff)
+            dl = _grl_domain_loss(dapply, syn_s, syn_w, syn_f, r_s, r_w,
+                                  r_f, grl_coeff)
             return dl, (stats, dcell["stats"])
 
         (dl, (new_stats, new_disc_stats)), (g_enc, g_disc) = \
@@ -598,11 +623,15 @@ def make_train_step(modules: TrainModules,
             state.enc_opt_state.hyperparams["learning_rate"] = aux_lr
             state.disc_opt_state.hyperparams["learning_rate"] = aux_lr
 
-        syn_lin = batch["syn"]
+        # origin_masks trains on the combined real batch only — the syn
+        # stream is optional there (used by DA stages if provided)
+        syn_lin = (batch.get("syn") if origin_masks else batch["syn"])
         real_lin = batch.get("real", None)
-        syn_target = batch["syn_strong"]                     # (Bs, Tf, C)
-        syn_target_weak = syn_target.max(axis=-2)
-        x_syn = _inp(syn_lin)
+        syn_target = (batch.get("syn_strong") if origin_masks
+                      else batch["syn_strong"])              # (Bs, Tf, C)
+        syn_target_weak = (syn_target.max(axis=-2)
+                           if syn_target is not None else None)
+        x_syn = _inp(syn_lin) if syn_lin is not None else None
         x_real = _inp(real_lin) if real_lin is not None else None
         real_weak_target = batch.get("real_weak", None)      # (Br, C)
         real_strong_target = batch.get("real_strong", None)
@@ -636,20 +665,25 @@ def make_train_step(modules: TrainModules,
                 gaussian_snr_noise(k_noise, real_lin, cfg.audio.noise_snr))
 
         # ---- ISP shifts (shared between real and syn streams,
-        # main_baseline.py:232-248)
+        # main_baseline.py:232-248; origin: drawn for and applied to the
+        # combined real batch ONLY, main.py:205-218)
         if isp:
+            n_shift = (real_lin.shape[0] if origin_masks
+                       else syn_lin.shape[0])
             in_shift, pool_shift, freq_shift = sample_isp_shifts(
-                k_shift, syn_lin.shape[0], t.time_shift_max,
+                k_shift, n_shift, t.time_shift_max,
                 t.freq_shift_max, cfg.model.pooling_time_ratio)
-            if not isp_syn_only:
+            if origin_masks or not isp_syn_only:
                 x_real_shift = roll_batch(x_real, in_shift, axis=1)
                 x_real_freq = roll_batch(x_real, freq_shift, axis=2)
-            x_syn_shift = roll_batch(x_syn, in_shift, axis=1)
-            x_syn_freq = roll_batch(x_syn, freq_shift, axis=2)
-            syn_target_shift = roll_batch(syn_target, pool_shift, axis=1)
-            if mean_teacher:
-                x_real_t_shift = roll_batch(x_real_t, in_shift, axis=1)
-                x_real_t_freq = roll_batch(x_real_t, freq_shift, axis=2)
+            if not origin_masks:
+                x_syn_shift = roll_batch(x_syn, in_shift, axis=1)
+                x_syn_freq = roll_batch(x_syn, freq_shift, axis=2)
+                syn_target_shift = roll_batch(syn_target, pool_shift,
+                                              axis=1)
+                if mean_teacher:
+                    x_real_t_shift = roll_batch(x_real_t, in_shift, axis=1)
+                    x_real_t_freq = roll_batch(x_real_t, freq_shift, axis=2)
 
         # ---- teacher forwards (no grad; teacher BN stats thread in the
         # reference's call order, main_baseline.py:352-368). With
@@ -658,7 +692,9 @@ def make_train_step(modules: TrainModules,
         teacher = {}
         t_stats = state.ema_batch_stats
         if mean_teacher:
-            if isp and t.fused_streams:
+            # origin: the teacher scores ONLY the plain real batch — no
+            # shifted teacher forwards exist in main.py (:251-255)
+            if isp and t.fused_streams and not origin_masks:
                 n_t = x_real_t.shape[0]
                 ts_all, tw_all, _, t_stats = model_fwd(
                     state.ema_params, t_stats,
@@ -672,7 +708,7 @@ def make_train_step(modules: TrainModules,
                 ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
                                                x_real_t, k_t1)
                 teacher["strong"], teacher["weak"] = sg(ts), sg(tw)
-                if isp:
+                if isp and not origin_masks:
                     ts, tw, _, t_stats = model_fwd(state.ema_params, t_stats,
                                                    x_real_t_shift, k_t2)
                     teacher["strong_shift"] = sg(ts)
@@ -687,8 +723,13 @@ def make_train_step(modules: TrainModules,
         # teacher posteriors are mixed with one shared λ/permutation and
         # the student is scored on the mixed input inside loss_fn
         if use_mixup and mean_teacher and x_real is not None:
-            u_half = x_real.shape[0] // 2
-            x_u = x_real[u_half:]                    # unlabeled-PL stream
+            if origin_masks:
+                # mask_unlabel rows of the combined batch (main.py:363,454)
+                b = x_real.shape[0]
+                x_u = x_real[b // 4: 3 * b // 4]
+            else:
+                u_half = x_real.shape[0] // 2
+                x_u = x_real[u_half:]                # unlabeled-PL stream
             ts_u, tw_u, _, t_stats = model_fwd(state.ema_params, t_stats,
                                                x_u, k_t4)
             mixed_x_u, mixed_strong_u, mixed_weak_u, _ = mixup(
@@ -704,7 +745,11 @@ def make_train_step(modules: TrainModules,
                 # one batched forward over all same-rank student streams
                 # (2 main + up to 4 ISP); split back by static sizes
                 parts = [x_syn, x_real]
-                if isp and not isp_syn_only:
+                if origin_masks:
+                    # main_origin.py's train() has NO syn stream at all
+                    # (:173 — one combined loader)
+                    parts = [x_real, x_real_shift, x_real_freq]
+                elif isp and not isp_syn_only:
                     parts += [x_real_shift, x_real_freq,
                               x_syn_shift, x_syn_freq]
                 elif isp:
@@ -716,14 +761,26 @@ def make_train_step(modules: TrainModules,
                 s_p = jnp.split(s_all, cuts, 0)
                 w_p = jnp.split(w_all, cuts, 0)
                 e_p = jnp.split(e_all, cuts, 0)
-                syn_strong, syn_weak, syn_enc = s_p[0], w_p[0], e_p[0]
-                r_strong, r_weak, r_enc = s_p[1], w_p[1], e_p[1]
-                if isp and not isp_syn_only:
+                if origin_masks:
+                    r_strong, r_weak, r_enc = s_p[0], w_p[0], e_p[0]
+                    rs_strong, rf_strong = s_p[1:3]
+                    rs_weak, rf_weak = w_p[1:3]
+                else:
+                    syn_strong, syn_weak, syn_enc = s_p[0], w_p[0], e_p[0]
+                    r_strong, r_weak, r_enc = s_p[1], w_p[1], e_p[1]
+                if origin_masks:
+                    pass
+                elif isp and not isp_syn_only:
                     rs_strong, rf_strong, ss_strong, sf_strong = s_p[2:6]
                     rs_weak, rf_weak, ss_weak, sf_weak = w_p[2:6]
                 elif isp:
                     ss_strong, sf_strong = s_p[2:4]
                     ss_weak, sf_weak = w_p[2:4]
+            elif origin_masks:
+                # main_origin.py's train() consumes ONE combined loader —
+                # there is no syn stream and no syn forward (:173,281-283)
+                r_strong, r_weak, r_enc, stats = model_fwd(
+                    params, stats, x_real, k_s2)
             else:
                 # NOTE: the syn forward runs (and its BatchNorm batch-stat
                 # update is kept) even when supervise_on == "real" — the
@@ -737,8 +794,22 @@ def make_train_step(modules: TrainModules,
                     r_strong, r_weak, r_enc, stats = model_fwd(
                         params, stats, x_real, k_s2)
 
-            # supervised BCE (main_baseline.py:431-475 / _ena variant)
-            if t.supervise_on == "real" and real_strong_target is not None:
+            # supervised BCE (main_baseline.py:431-475 / _ena variant;
+            # origin: masked slices of the combined real batch — the syn
+            # stream's predictions are forwarded-then-unused, main.py:
+            # 344-346,380,417)
+            if origin_masks:
+                if real_strong_target is None:
+                    raise ValueError(
+                        "the origin preset's masked ICT wiring needs the "
+                        "combined real batch's strong targets — build the "
+                        "loader with layout='origin' (batch carries no "
+                        "'real_strong' key)")
+                b = r_weak.shape[0]
+                b4, b34 = b // 4, 3 * b // 4
+                weak_loss = bce(r_weak[:b34], real_weak_target[:b34])
+                strong_loss = bce(r_strong[b34:], real_strong_target[b34:])
+            elif t.supervise_on == "real" and real_strong_target is not None:
                 weak_loss = bce(r_weak, real_strong_target.max(axis=-2))
                 if mean_teacher:
                     # the ENA script's weak BCE is counted TWICE under MT:
@@ -774,14 +845,55 @@ def make_train_step(modules: TrainModules,
                 m["consistency_weak"] = c_weak
                 loss = loss + c_strong + c_weak
 
-            if isp:
+            if isp and origin_masks:
+                # masked combined-batch SCT (main.py:363-367,383,422-423):
+                # real shift then real freq student forwards (:363-367);
+                # class terms on the weak/strong row slices; single
+                # self-consistency MSE over the FULL combined batch
+                # (:484); NO syn shifted forwards, NO teacher shift terms
+                b = r_weak.shape[0]
+                b4, b34 = b // 4, 3 * b // 4
+                if not fused:
+                    rs_strong, rs_weak, _, stats = model_fwd(
+                        params, stats, x_real_shift, k_s3)
+                    rf_strong, rf_weak, _, stats = model_fwd(
+                        params, stats, x_real_freq, k_s4)
+                real_strong_shift = roll_batch(real_strong_target,
+                                               pool_shift, axis=1)
+                strong_shift_loss = bce(rs_strong[b34:],
+                                        real_strong_shift[b34:])
+                strong_freq_loss = bce(rf_strong[b34:],
+                                       real_strong_target[b34:])
+                weak_freq_loss = bce(rf_weak[:b4], real_weak_target[:b4])
+                m["strong_shift_class_loss"] = strong_shift_loss
+                m["strong_freq_shift_class_loss"] = strong_freq_loss
+                m["weak_freq_shift_class_loss"] = weak_freq_loss
+                loss = (loss + strong_shift_loss + strong_freq_loss
+                        + weak_freq_loss)
+                c_shift = cost / 2 * mse(
+                    rs_strong, sg(roll_batch(r_strong, pool_shift,
+                                             axis=1)))
+                m["consistency_shift"] = c_shift
+                loss = loss + c_shift
+            elif isp:
                 half = r_weak.shape[0] // 2
                 if not fused:
                     if not isp_syn_only:
-                        rs_strong, rs_weak, _, stats = model_fwd(
-                            params, stats, x_real_shift, k_s3)
-                        rf_strong, rf_weak, _, stats = model_fwd(
-                            params, stats, x_real_freq, k_s4)
+                        if t.isp_flavor == "sct":
+                            # main_sct_ada_weak.py:397-400: the real FREQ-
+                            # shift forward PRECEDES the time-shift one —
+                            # BN batch-stat threading order differs from
+                            # the baseline lineage (main_baseline.py:
+                            # 372-407, shift first)
+                            rf_strong, rf_weak, _, stats = model_fwd(
+                                params, stats, x_real_freq, k_s4)
+                            rs_strong, rs_weak, _, stats = model_fwd(
+                                params, stats, x_real_shift, k_s3)
+                        else:
+                            rs_strong, rs_weak, _, stats = model_fwd(
+                                params, stats, x_real_shift, k_s3)
+                            rf_strong, rf_weak, _, stats = model_fwd(
+                                params, stats, x_real_freq, k_s4)
                     ss_strong, ss_weak, _, stats = model_fwd(
                         params, stats, x_syn_shift, k_s5)
                     sf_strong, sf_weak, _, stats = model_fwd(
@@ -810,13 +922,6 @@ def make_train_step(modules: TrainModules,
                     weak_freq_loss = bce(sf_weak, syn_target_weak)
                     m["weak_freq_shift_class_loss"] = weak_freq_loss
                     loss = loss + weak_freq_loss
-                elif t.isp_flavor == "origin" \
-                        and real_weak_target is not None:
-                    # mask_weak slice = labeled real half (main.py:383)
-                    weak_freq_loss = bce(rf_weak[:half],
-                                         real_weak_target[:half])
-                    m["weak_freq_shift_class_loss"] = weak_freq_loss
-                    loss = loss + weak_freq_loss
                 elif t.isp_flavor == "sct":
                     # computed but NEVER added to the live sum
                     # (main_sct_ada_weak.py:428 vs :513) — metric only
@@ -840,16 +945,6 @@ def make_train_step(modules: TrainModules,
                     real_pred_shift = sg(roll_batch(r_strong, pool_shift,
                                                     axis=1))
                     c_shift = cost / 2 * mse(ss_strong, real_pred_shift)
-                elif t.isp_flavor == "origin":
-                    # single MSE over the combined shifted batch
-                    # (main.py:482: strong_shift_pred vs rolled preds of
-                    # the whole train batch)
-                    real_pred_shift = sg(roll_batch(r_strong, pool_shift,
-                                                    axis=1))
-                    c_shift = cost / 2 * mse(
-                        jnp.concatenate([rs_strong, ss_strong], 0),
-                        jnp.concatenate([real_pred_shift, syn_pred_shift],
-                                        0))
                 else:
                     # scmt_ada (:542-544) / sct (main_sct_ada_weak.py:512):
                     # syn shifted student vs rolled SYN prediction
@@ -889,11 +984,48 @@ def make_train_step(modules: TrainModules,
                         rf_strong, teacher["strong_freq"])
                 # "origin": no teacher shift terms exist (main.py)
 
-            if use_mixup:
-                # ICT supervised strong mixup (main.py:426-432): mixed
-                # input scored against the λ-blended target (BCE is affine
-                # in the target, so this equals the reference's
-                # mixup_criterion λ-weighted pair of BCEs)
+            if use_mixup and origin_masks:
+                b = r_weak.shape[0]
+                b4, b34 = b // 4, 3 * b // 4
+                # ICT weak mixup on the mask_weak rows (main.py:386-392);
+                # the λ-weighted BCE pair of mixup_criterion equals BCE
+                # against the λ-blended target (BCE is affine in the
+                # target). Forward order weak→strong→unsup follows the
+                # reference's loss-section order (BN batch-stat threading)
+                mixed_xw, mixed_yw, _ = mixup(k_wmix, x_real[:b4],
+                                              real_weak_target[:b4],
+                                              alpha=t.mixup_alpha)
+                _, mw_weak, _, stats = model_fwd(params, stats, mixed_xw,
+                                                 k_wmix2)
+                mix_weak_loss = bce(mw_weak, mixed_yw)
+                m["mixup_weak_class_loss"] = mix_weak_loss
+                loss = loss + mix_weak_loss
+                # ICT strong mixup on the mask_strong rows (main.py:426-432)
+                mixed_x, mixed_y, _ = mixup(k_mix, x_real[b34:],
+                                            real_strong_target[b34:],
+                                            alpha=t.mixup_alpha)
+                mx_strong, _, _, stats = model_fwd(params, stats, mixed_x,
+                                                   k_mix2)
+                mix_loss = bce(mx_strong, mixed_y)
+                m["mixup_strong_loss"] = mix_loss
+                loss = loss + mix_loss
+                # ICT unlabeled mixup-consistency vs the EMA teacher
+                # (main.py:459-470), × the ramped consistency cost
+                if mean_teacher:
+                    u_strong, u_weak, _, stats = model_fwd(params, stats,
+                                                           mixed_x_u,
+                                                           k_umix2)
+                    c_u_strong = (t.mixup_consistency * cost
+                                  * mse(u_strong, mixed_strong_u))
+                    c_u_weak = (t.mixup_consistency * cost
+                                * mse(u_weak, mixed_weak_u))
+                    m["mixup_cons_strong_loss"] = c_u_strong
+                    m["mixup_cons_weak_loss"] = c_u_weak
+                    loss = loss + c_u_strong + c_u_weak
+            elif use_mixup:
+                # generic (non-masked) ICT composition for experimental
+                # flavor combinations: syn-stream strong mixup, labeled
+                # real-half weak mixup, unlabeled-half consistency
                 mixed_x, mixed_y, lam = mixup(k_mix, x_syn, syn_target,
                                               alpha=t.mixup_alpha)
                 mx_strong, _, _, stats = model_fwd(params, stats, mixed_x,
@@ -934,8 +1066,8 @@ def make_train_step(modules: TrainModules,
                     cfg.da.grl_hi, cfg.da.grl_max_iters)
                 dapply, dcell = disc_apply_fn(disc_params,
                                               state.disc_batch_stats, k_da)
-                dl = _grl_domain_loss(dapply, syn_strong, syn_enc,
-                                      r_strong, r_enc, grl_coeff)
+                dl = _grl_domain_loss(dapply, syn_strong, syn_weak, syn_enc,
+                                      r_strong, r_weak, r_enc, grl_coeff)
                 m["domain_loss"] = dl
                 loss = loss + cfg.da.adv_weight * dl
                 m["loss"] = loss
@@ -975,10 +1107,18 @@ def make_train_step(modules: TrainModules,
 
         ema_params, ema_stats = state.ema_params, state.ema_batch_stats
         if mean_teacher:
-            # state-dict EMA: params AND batch stats (main_baseline.py:91-105)
             ema_params = ema_update(state.ema_params, new_params, new_step,
                                     t.ema_alpha)
-            ema_stats = ema_update(t_stats, new_stats, new_step, t.ema_alpha)
+            if t.ema_scope == "params":
+                # main_origin.py:86-89 — parameter-wise EMA only; the
+                # teacher's BN running stats evolve solely through its own
+                # train-mode forwards (already threaded into t_stats)
+                ema_stats = t_stats
+            else:
+                # state-dict EMA: params AND batch stats
+                # (main_baseline.py:91-105)
+                ema_stats = ema_update(t_stats, new_stats, new_step,
+                                       t.ema_alpha)
 
         new_state = state.replace(step=new_step, params=new_params,
                                   batch_stats=new_stats,
@@ -996,7 +1136,8 @@ def make_train_step(modules: TrainModules,
 
 def make_epoch_runner(modules: TrainModules,
                       steps_per_epoch: Optional[int] = None,
-                      grad_flow: bool = False) -> Callable:
+                      grad_flow: bool = False,
+                      mesh=None) -> Callable:
     """ONE-dispatch epoch: ``lax.scan`` of the train step over every batch
     of a device-resident epoch.
 
@@ -1014,15 +1155,33 @@ def make_epoch_runner(modules: TrainModules,
     Signature: ``run_epoch(state, arrays, idx, rng, epoch) ->
     (state, stacked_metrics)`` where ``arrays``/``idx`` come from
     ``ThreeStreamLoader.epoch_arrays``.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh(('data',))`` makes the scanned
+    epoch multi-chip: the dataset arrays + index matrices live REPLICATED
+    on the mesh (the caller places them — Trainer.train_epoch), the train
+    state is replicated, and the scan body constrains each gathered batch
+    to row-sharding over the data axis — from there GSPMD inserts exactly
+    the collectives the per-step loop path gets from ``shard_batch``, so
+    the two paths run the same sharded program per step. The replicated
+    gather is redundant per-device work (each chip gathers the full batch
+    then keeps its rows), which keeps index row→device assignment free of
+    divisibility constraints on the half-batch streams.
     """
     from bsed_tpu.data.pipeline import gather_batch
 
     step_body = make_train_step(modules, steps_per_epoch=steps_per_epoch,
                                 grad_flow=grad_flow, jit=False)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        shard = NamedSharding(mesh, PartitionSpec("data"))
 
     def run_epoch(state, arrays, idx, rng, epoch):
         def body(carry, ids):
             batch = gather_batch(arrays, ids)
+            if shard is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, shard)
+                         for k, v in batch.items()}
             return step_body(carry, batch, rng, epoch)
         return jax.lax.scan(body, state, idx)
 

@@ -179,6 +179,27 @@ class Trainer:
             restored = replicate(self.mesh, restored)
         self.state = restored
 
+    def _mesh_replicated(self, tree: Dict, cache: bool = True) -> Dict:
+        """device_put a dict of arrays fully-REPLICATED on the data mesh
+        (the scanned-epoch runner's placement contract). The dataset
+        arrays are the same objects every epoch, so they're cached by
+        identity; per-epoch index matrices pass cache=False."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        if not hasattr(self, "_rep_cache"):
+            self._rep_cache = {}
+        out = {}
+        for k, v in tree.items():
+            key = id(v) if cache else None
+            if key is not None and key in self._rep_cache:
+                out[k] = self._rep_cache[key]
+                continue
+            placed = jax.device_put(v, rep)
+            if key is not None:
+                self._rep_cache[key] = placed
+            out[k] = placed
+        return out
+
     def _sink_metrics(self, meters: AverageMeterSet, stacked: Dict,
                       base_step: int, first_step: int,
                       last_step: int) -> None:
@@ -207,16 +228,23 @@ class Trainer:
         # over the device-resident dataset arrays (same traced step body —
         # identical schedule and, up to XLA reassociation, identical
         # numerics; the NaN guard surfaces at epoch end instead of ≤9
-        # steps late)
+        # steps late). Under a data mesh the dataset arrays/indices live
+        # replicated on the mesh and the scan body row-shards each
+        # gathered batch — the same sharded step program as the loop path
+        # (make_epoch_runner mesh note). Multi-host keeps the loop path:
+        # its per-process strided loaders own the data split.
         ea = (self.train_loader.epoch_arrays(epoch)
-              if self.scan_epoch != "off" and self.mesh is None
+              if self.scan_epoch != "off" and jax.process_count() == 1
               and hasattr(self.train_loader, "epoch_arrays") else None)
         if ea is not None:
             arrays, idx = ea
+            if self.mesh is not None:
+                arrays = self._mesh_replicated(arrays)
+                idx = self._mesh_replicated(idx, cache=False)
             if self._epoch_runner is None:
                 self._epoch_runner = make_epoch_runner(
                     self.modules, steps_per_epoch=len(self.train_loader),
-                    grad_flow=self.grad_flow)
+                    grad_flow=self.grad_flow, mesh=self.mesh)
             self.state, metrics = self._epoch_runner(
                 self.state, arrays, idx, epoch_rng, epoch_arr)
             stacked = {k: np.asarray(v) for k, v in metrics.items()}

@@ -331,6 +331,27 @@ def convert_clip_discriminator(state: Mapping[str, np.ndarray]
     return ({"convs": convs_p, "dense_d": d}, {"convs": convs_s})
 
 
+def convert_frame_discriminator(state: Mapping[str, np.ndarray]) -> Dict:
+    """torch ``Frame_Discriminator`` state_dict (the plain 3-dense MLP,
+    CRNN_GRL.py:116-140 — also shape-compatible with the CRNN.py:91-112
+    GRL flavor and our FrameDiscriminatorGRL) → flax params for
+    models/discriminators.FrameDiscriminator: dense kernels transposed,
+    names preserved."""
+    return {name: convert_dense(state[f"{name}.weight"],
+                                state[f"{name}.bias"])
+            for name in ("dense_d_1", "dense_d_2", "dense_d_3")}
+
+
+def export_frame_discriminator(params: Mapping) -> Dict[str, np.ndarray]:
+    """Inverse of convert_frame_discriminator (checkpoint contract's
+    optional ``model_d`` entry for the frame-MLP flavors)."""
+    out: Dict[str, np.ndarray] = {}
+    for name in ("dense_d_1", "dense_d_2", "dense_d_3"):
+        out[f"{name}.weight"] = np.asarray(params[name]["kernel"]).T
+        out[f"{name}.bias"] = np.asarray(params[name]["bias"])
+    return out
+
+
 def export_clip_discriminator(params: Mapping, stats: Mapping
                               ) -> Dict[str, np.ndarray]:
     """Inverse of convert_clip_discriminator (for the checkpoint contract's

@@ -122,7 +122,7 @@ def test_trainer_origin_fits_and_records_scaler(tmp_path):
     unlab = SyntheticDataSource(cfg, n_items=4, seed=3)
     val = SyntheticDataSource(cfg, n_items=4, seed=4)
     loader = ThreeStreamLoader(syn, weak, unlab, batch_size=4,
-                               seed=cfg.train.seed)
+                               seed=cfg.train.seed, layout="origin")
     trainer = Trainer(cfg, loader, val_loader=EvalLoader(val, batch_size=4),
                       store_dir=str(tmp_path / "run"), mesh="off",
                       scan_epoch="off")

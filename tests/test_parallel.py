@@ -153,6 +153,48 @@ def test_trainer_fit_mesh_matches_single_device(tmp_path):
     assert int(t_mesh.state.step) == len(t_mesh.train_loader)
 
 
+@pytest.mark.slow
+def test_scanned_epoch_matches_loop_on_mesh(tmp_path):
+    """VERDICT r3 item 3: the one-dispatch ``lax.scan`` epoch runs UNDER
+    the 8-device data mesh (dataset arrays replicated, each gathered batch
+    row-sharded by constraint) and matches the per-step loop path's epoch
+    metrics. The Trainer auto-selects scan whenever the arrays are
+    device-resident — mesh or not (the old single-chip-only gate is
+    gone)."""
+    import dataclasses
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.data.datasets import SyntheticDataSource
+    from bsed_tpu.data.pipeline import ThreeStreamLoader
+    from bsed_tpu.train.trainer import Trainer
+
+    def build(tag, scan):
+        cfg = get_config("baseline_mt_isp").replace(
+            audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    batch_size=8))
+        syn = SyntheticDataSource(cfg, n_items=16, seed=1)
+        weak = SyntheticDataSource(cfg, n_items=8, seed=2)
+        unlab = SyntheticDataSource(cfg, n_items=8, seed=3)
+        loader = ThreeStreamLoader(syn, weak, unlab, batch_size=8,
+                                   seed=cfg.train.seed,
+                                   device_resident=True)
+        return Trainer(cfg, loader, store_dir=str(tmp_path / tag),
+                       mesh="auto", scan_epoch=scan)
+
+    t_scan = build("scan", "auto")
+    assert t_scan.mesh is not None and t_scan.mesh.size == 8
+    assert t_scan.train_loader.epoch_arrays(0) is not None
+    m_scan = t_scan.train_epoch(0)
+    t_loop = build("loop", "off")
+    m_loop = t_loop.train_epoch(0)
+    assert m_scan.keys() == m_loop.keys()
+    for k in m_loop:
+        np.testing.assert_allclose(
+            m_scan[k], m_loop[k], rtol=1e-4, atol=1e-6,
+            err_msg=f"metric {k}: scanned-mesh vs loop-mesh")
+
+
 def test_auto_data_mesh_divisibility():
     """auto_data_mesh picks the largest device count dividing every batch
     stream (GSPMD needs axis-0 divisibility), or None when only 1 fits."""

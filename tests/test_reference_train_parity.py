@@ -170,6 +170,27 @@ def mb_ada_weak():
     cleanup()
 
 
+@pytest.fixture(scope="module")
+def mb_sct():
+    mod, cleanup = _import_ref_script("main_sct_ada_weak")
+    yield mod
+    cleanup()
+
+
+@pytest.fixture(scope="module")
+def mb_pl():
+    mod, cleanup = _import_ref_script("pseudo_labeling_main")
+    yield mod
+    cleanup()
+
+
+@pytest.fixture(scope="module")
+def mb_og():
+    mod, cleanup = _import_ref_script("main_origin")
+    yield mod
+    cleanup()
+
+
 class _FixtureSet(torch.utils.data.Dataset):
     """Items shaped exactly like the reference loaders deliver them:
     ``((input, ema_input), target), filename`` with input (1, T, F) — and
@@ -345,7 +366,7 @@ def _assert_tree_close(ours, ref, what, tol, grad_tree=None,
 
 def _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
                           lr, tol=5e-5, noise_grad_thresh=1e-6, nb=None,
-                          extra_chains=()):
+                          extra_chains=(), stats_nb=None):
     """Shared post-epoch state comparison. fp32 torch-CPU vs XLA-CPU drift
     through N_STEPS Adam/SGD steps: loss agrees to ~1e-6; real-gradient
     leaves land within ~2.3e-5 (measured); analytically-zero-gradient
@@ -372,7 +393,15 @@ def _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
     # noise-bounded conv bias 1:1 at reference momentum 0.99). Wiring
     # errors here (wrong momentum, an extra/missing forward) are
     # batch-scale O(1) events, far above the nb bound.
-    nb_total = nb + sum(c[1] for c in extra_chains)
+    # ``stats_nb`` overrides the BN-stat bound when the optimizer-noise
+    # envelope isn't the dominant term — e.g. a 1-step epoch with MANY
+    # train-mode forwards, where fp reassociation on the dB-scale block0
+    # activations (XLA vs torch reduction trees over ~1e5 elements of
+    # magnitude ~40) contributes a few 1e-3 regardless of N·lr. Wiring
+    # errors here (wrong momentum, an extra/missing forward) are
+    # batch-scale O(1) events, orders above either bound.
+    nb_total = stats_nb if stats_nb is not None \
+        else nb + sum(c[1] for c in extra_chains)
     _assert_tree_close(state.batch_stats, ref_stats, "BN running stats",
                        nb_total)
     _assert_tree_close(state.ema_params, ref_ema_params, "EMA params", tol,
@@ -707,6 +736,617 @@ def test_scmt_ada_weak_joint_da_epoch_matches_reference(mb_ada_weak,
     _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
                           lr=float(mb.cfg.default_learning_rate))
     ref_disc_p, ref_disc_s = tc.convert_clip_discriminator(
+        {k: v.detach().numpy() for k, v in tdisc.state_dict().items()})
+    _assert_tree_close(state.disc_params, ref_disc_p,
+                       "discriminator params", 5e-5)
+
+
+def test_sct_ada_weak_epoch_matches_reference_train_mt(mb_sct, tmp_path,
+                                                       monkeypatch):
+    """main_sct_ada_weak.py pretrain MT+SCT epoch: pins the 'sct' ISP
+    flavor's reduced live sum — real[:half] weak BCE in BOTH MT branches
+    (:419-424), syn-only SCT class terms (:462-463), the single-term syn
+    self-consistency (:510-513), weak-freq and ALL teacher shift terms
+    computed-but-never-added — plus the real FREQ-shift student forward
+    running BEFORE the time-shift one (:397-400, a BN-threading order
+    unique to this script), the per-STEP exp_rampup cost (:282), and the
+    HEAD optimizer mix: main = Adam at default_learning_rate (:837-841),
+    aux SGD unused in pretrain. (The adaptation-stage DANN pre-step is
+    bit-rotted upstream: Frame_Discriminator hard-codes Linear(256,·)
+    against the (2B, 80128) flattened features — it crashes at HEAD, so
+    pretrain is the runnable parity target.)"""
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    mb = mb_sct
+    data = _make_data()
+    cfg = get_config("sct_ada_weak")
+    assert cfg.train.isp_flavor == "sct"
+    assert cfg.train.cost_ramp == "exp_step"
+    assert cfg.train.real_weak_bce == "half"
+    assert cfg.train.optimizer == "adam"     # HEAD: Adam main, SGD aux
+    assert cfg.da.aux_optimizer == "sgd"
+    assert cfg.train.stage == "pretrain"     # no discriminator built
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, max_len_seconds=2.04,
+                                  noise_snr=None),
+        model=dataclasses.replace(cfg.model, dropout=0.0,
+                                  dropout_recurrent=0.0),
+        train=dataclasses.replace(
+            cfg.train,
+            max_learning_rate=float(mb.cfg.default_learning_rate),
+            adjust_lr=bool(mb.cfg.adjust_lr),
+            n_epoch_rampup=int(mb.cfg.n_epoch_rampup),
+            max_consistency_cost=float(mb.cfg.max_consistency_cost)))
+    assert not cfg.train.adjust_lr           # data/config.py:97
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(8))
+
+    crnn, predictor = _torch_models_from_state(
+        mb, cfg, state.params, state.batch_stats, tmp_path, "student")
+    crnn_ema, pred_ema = _torch_models_from_state(
+        mb, cfg, state.ema_params, state.ema_batch_stats, tmp_path,
+        "teacher")
+    for p in list(crnn_ema.parameters()) + list(pred_ema.parameters()):
+        p.detach_()
+    optim = torch.optim.Adam(
+        filter(lambda p: p.requires_grad,
+               list(crnn.parameters()) + list(predictor.parameters())),
+        lr=float(mb.cfg.default_learning_rate), betas=(0.9, 0.999))
+
+    unl_dl, weak_dl, syn_dl = _loaders(data)
+    monkeypatch.setattr(mb.cfg, "batch_size", B_SYN)
+    random.seed(SEED)
+    ref_loss = mb.train_mt(
+        unl_dl, weak_dl, syn_dl, crnn, optim, 0,
+        ema_model=crnn_ema, ema_predictor=pred_ema,
+        mask_weak=None, mask_strong=None, adjust_lr=mb.cfg.adjust_lr,
+        predictor=predictor, discriminator=None, optimizer_d=None,
+        optimizer_crnn=None, ISP=True)
+
+    _replay_shifts(monkeypatch, N_STEPS)
+    step_fn = make_train_step(modules, steps_per_epoch=N_STEPS, jit=False)
+    epoch = jnp.asarray(0.0, jnp.float32)
+    metrics = None
+    for i in range(N_STEPS):
+        ssl = slice(i * B_SYN, (i + 1) * B_SYN)
+        hsl = slice(i * B_HALF, (i + 1) * B_HALF)
+        batch = {
+            "syn": jnp.asarray(data["syn"][ssl]),
+            "syn_strong": jnp.asarray(data["syn_strong"][ssl]),
+            "real": jnp.asarray(np.concatenate(
+                [data["weak"][hsl], data["unl"][hsl]], 0)),
+            "real_weak": jnp.asarray(np.concatenate(
+                [data["weak_strong"][hsl].max(axis=1),
+                 data["pl_weak"][hsl]], 0)),
+        }
+        state, metrics = step_fn(state, batch, jax.random.key(9), epoch)
+
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 2e-5, \
+        f"last-step loss: ours {float(metrics['loss'])} ref {float(ref_loss)}"
+    # two-SIDED noise envelope for the analytically-zero-gradient leaves:
+    # each side's Adam walks ±~1.1·lr per step with independent fp-noise
+    # sign (measured here: a conv bias at |g|≈6e-8 drifted 2.44·lr over
+    # the 2 steps); wiring-bearing leaves stay at tol
+    lr = float(mb.cfg.default_learning_rate)
+    _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
+                          lr=lr, nb=2.2 * N_STEPS * lr)
+
+
+def test_cdan_frame_loss_and_reversed_gradients_match_reference(mb):
+    """The adaptation pre-step's LOSS MODULE pinned at a mid-training GRL
+    coefficient: DA/cdan_frame.py's ConditionalDomainAdversarialLoss
+    (h = GRL(f) only, clip labels broadcast over frames — the upstream
+    (2B,313)-vs-(2B,) BCE shape bug resolved as broadcast, the evident
+    intent) with the warm-start λ forced to iter 500 (λ ≈ 0.245), against
+    our cdan_frame_loss + FrameDiscriminator. Asserts the loss, the
+    REVERSED feature gradients (the −λ scaling into the encoder) and the
+    discriminator parameter gradients. Complements the N=1 epoch test
+    below, whose step-0 λ is exactly 0 by schedule."""
+    from bsed_tpu.models.discriminators import FrameDiscriminator
+    from bsed_tpu.ops.grl import warm_start_lambda
+    from bsed_tpu.train import da as da_losses
+
+    rng = np.random.default_rng(21)
+    f_s = rng.standard_normal((3, T_POOL, 256)).astype(np.float32)
+    f_t = rng.standard_normal((3, T_POOL, 256)).astype(np.float32)
+    g_s = rng.random((3, T_POOL, N_CLASS)).astype(np.float32)
+    g_t = rng.random((3, T_POOL, N_CLASS)).astype(np.float32)
+
+    disc = FrameDiscriminator(dropout=0.0)
+    variables = disc.init(jax.random.key(0), jnp.asarray(f_s))
+    tdisc = mb.Frame_Discriminator(input_dim=8192, dropout=0.0)
+    tdisc.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         tc.export_frame_discriminator(variables["params"]).items()},
+        strict=True)
+    tdisc.train()
+    domain_adv = mb.ConditionalDomainAdversarialLoss(
+        tdisc, entropy_conditioning=False, num_classes=N_CLASS,
+        features_dim=256 * T_POOL, randomized=False)
+    domain_adv.grl.iter_num = 500
+    domain_adv.bce = lambda d, lbl, w: torch.nn.functional.\
+        binary_cross_entropy(d, lbl.unsqueeze(1).expand_as(d))
+    tf_s = torch.from_numpy(f_s).requires_grad_(True)
+    tf_t = torch.from_numpy(f_t).requires_grad_(True)
+    t_loss = domain_adv(torch.from_numpy(g_s), tf_s,
+                        torch.from_numpy(g_t), tf_t)
+    t_loss.backward()
+
+    lam = warm_start_lambda(500)
+    assert abs(float(lam) - (2.0 / (1.0 + np.exp(-0.5)) - 1.0)) < 1e-6
+
+    def loss_fn(fs, ft, disc_params):
+        def dapply(h):
+            return disc.apply({"params": disc_params}, h, train=True,
+                              rngs={"dropout": jax.random.key(1)})
+        return da_losses.cdan_frame_loss(dapply, jnp.asarray(g_s), fs,
+                                         jnp.asarray(g_t), ft, lam)
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        jnp.asarray(f_s), jnp.asarray(f_t), variables["params"])
+    np.testing.assert_allclose(float(loss), float(t_loss), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(grads[0]),
+                               tf_s.grad.numpy(), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(grads[1]),
+                               tf_t.grad.numpy(), atol=2e-7)
+    t_disc_g = tc.convert_frame_discriminator(
+        {n: p.grad.detach().numpy() for n, p in tdisc.named_parameters()})
+    _assert_tree_close(grads[2], t_disc_g, "disc grads", 2e-6)
+
+
+def test_baseline_adaptation_pre_step_epoch_matches_reference(
+        mb, tmp_path, monkeypatch):
+    """main_baseline.py ADAPTATION-stage epoch (-stage adaptation -mt -ISP):
+    the CDAN-frame discriminator PRE-STEP (main_baseline.py:314-335) — two
+    extra train-mode student forwards (syn then real) whose BN batch-stat
+    updates precede the main forwards, one backward through the
+    GRL-reversed frame-MLP discriminator stepping optimizer_crnn AND
+    optimizer_d (both Adam at the construction lr), domain loss NOT added
+    to the main loss (:531-532 commented) — stacked under the full MT+ISP
+    main update, pinned leaf-for-leaf on student, teacher AND
+    discriminator params vs the real script's epoch.
+
+    ONE-step epoch (the ADDA test's rationale): the encoder is stepped by
+    TWO independent Adam chains per step (pre-step optimizer_crnn + main
+    optim), so multi-step runs push cancelling-gradient elements into the
+    sign-unstable regime. At step 0 the warm-start λ is exactly 0, so the
+    pre-step's encoder gradient is analytically zero on BOTH sides (the
+    Adam step on an all-zero gradient is 0) — the reversed-gradient path
+    at λ>0 is pinned by the loss-module test above.
+
+    Reference bit-rot handled (documented in train/da.py:cdan_frame_loss):
+    the per-frame discriminator's (2B, T) output cannot broadcast against
+    its (2B,) clip labels under torch>=1.0's BCE shape check — the test
+    shims domain_adv.bce with the explicit broadcast (labels expanded over
+    the frame axis), exactly the semantics our loss implements."""
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    N = 1
+    data = _make_data()
+    cfg = get_config("baseline_adaptation")
+    assert cfg.train.stage == "adaptation"
+    assert cfg.da.mode == "cdan_frame" and cfg.da.level == "frame"
+    assert not cfg.da.joint_backward
+    assert cfg.train.mean_teacher and cfg.train.isp
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, max_len_seconds=2.04,
+                                  noise_snr=None),
+        model=dataclasses.replace(cfg.model, dropout=0.0,
+                                  dropout_recurrent=0.0),
+        da=dataclasses.replace(cfg.da, disc_dropout=0.0),
+        train=dataclasses.replace(
+            cfg.train,
+            max_learning_rate=float(mb.cfg.max_learning_rate),
+            adjust_lr=bool(mb.cfg.adjust_lr),
+            max_consistency_cost=float(mb.cfg.max_consistency_cost)))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(7))
+
+    crnn, predictor = _torch_models_from_state(
+        mb, cfg, state.params, state.batch_stats, tmp_path, "student")
+    crnn_ema, pred_ema = _torch_models_from_state(
+        mb, cfg, state.ema_params, state.ema_batch_stats, tmp_path,
+        "teacher")
+    for p in list(crnn_ema.parameters()) + list(pred_ema.parameters()):
+        p.detach_()
+    tdisc = mb.Frame_Discriminator(input_dim=8192, dropout=0.0)
+    tdisc.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         tc.export_frame_discriminator(state.disc_params).items()},
+        strict=True)
+    tdisc.train()
+    # randomized=False: cdan_frame's forward never touches self.map
+    # (cdan_frame.py:94-95), skip the (256·T·3130) randn
+    domain_adv = mb.ConditionalDomainAdversarialLoss(
+        tdisc, entropy_conditioning=False, num_classes=N_CLASS,
+        features_dim=256 * T_POOL, randomized=False)
+    domain_adv.bce = lambda d, lbl, w: torch.nn.functional.\
+        binary_cross_entropy(d, lbl.unsqueeze(1).expand_as(d))
+    adam_kw = dict(lr=float(mb.cfg.default_learning_rate),
+                   betas=(0.9, 0.999))
+    optim = torch.optim.Adam(
+        filter(lambda p: p.requires_grad,
+               list(crnn.parameters()) + list(predictor.parameters())),
+        **adam_kw)
+    optim_crnn = torch.optim.Adam(crnn.parameters(), **adam_kw)
+    optim_d = torch.optim.Adam(tdisc.parameters(), **adam_kw)
+
+    # ONE-batch loaders: _loaders(data) holds N_STEPS batches and the
+    # reference's epoch length = len(syn_loader) — a longer loader would
+    # silently run MORE reference steps than our N (caught round 4: the
+    # λ=0 / lr≈4e-9 operating point makes loss and params nearly blind to
+    # the batch content, and only the BN batch statistics exposed the
+    # mismatched schedules)
+    def dl(feats, targets, bs):
+        return torch.utils.data.DataLoader(
+            _FixtureSet(_logmel(feats)[:, None], targets), batch_size=bs,
+            shuffle=False)
+
+    unl_dl = dl(data["unl"][:N * B_HALF], data["pl_weak"][:N * B_HALF],
+                B_HALF)
+    weak_dl = dl(data["weak"][:N * B_HALF],
+                 data["weak_strong"][:N * B_HALF], B_HALF)
+    syn_dl = dl(data["syn"][:N * B_SYN], data["syn_strong"][:N * B_SYN],
+                B_SYN)
+    monkeypatch.setattr(mb.cfg, "batch_size", B_SYN)
+    random.seed(SEED)
+    ref_loss = mb.train_mt(
+        unl_dl, weak_dl, syn_dl, crnn, optim, 0,
+        ema_model=crnn_ema, ema_predictor=pred_ema,
+        mask_weak=None, mask_strong=None, adjust_lr=mb.cfg.adjust_lr,
+        predictor=predictor, discriminator=domain_adv, optimizer_d=optim_d,
+        optimizer_crnn=optim_crnn, ISP=True)
+
+    _replay_shifts(monkeypatch, N)
+    step_fn = make_train_step(modules, steps_per_epoch=N, jit=False)
+    epoch = jnp.asarray(0.0, jnp.float32)
+    metrics = None
+    for i in range(N):
+        ssl = slice(i * B_SYN, (i + 1) * B_SYN)
+        hsl = slice(i * B_HALF, (i + 1) * B_HALF)
+        batch = {
+            "syn": jnp.asarray(data["syn"][ssl]),
+            "syn_strong": jnp.asarray(data["syn_strong"][ssl]),
+            "real": jnp.asarray(np.concatenate(
+                [data["weak"][hsl], data["unl"][hsl]], 0)),
+            "real_weak": jnp.asarray(np.concatenate(
+                [data["weak_strong"][hsl].max(axis=1),
+                 data["pl_weak"][hsl]], 0)),
+        }
+        state, metrics = step_fn(state, batch, jax.random.key(9), epoch)
+
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 2e-5, \
+        f"last-step loss: ours {float(metrics['loss'])} ref {float(ref_loss)}"
+    # the λ=0 pre-step contributes NO encoder update (zero-gradient Adam
+    # step is zero bitwise) — the single live chain is the main Adam
+    lr = float(mb.cfg.default_learning_rate)
+    _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
+                          lr=lr, nb=1.1 * N * lr)
+    # discriminator: one Adam step on real gradients (the pre-step's GRL
+    # forward is identity regardless of λ); its leftover .grad tensors ARE
+    # the pre-step gradients (nothing zeroes them afterwards)
+    ref_disc_p = tc.convert_frame_discriminator(
+        {k: v.detach().numpy() for k, v in tdisc.state_dict().items()})
+    disc_g = tc.convert_frame_discriminator(
+        {n: p.grad.detach().numpy() for n, p in tdisc.named_parameters()})
+    _assert_tree_close(state.disc_params, ref_disc_p,
+                       "discriminator params", 5e-5, grad_tree=disc_g,
+                       noise_bound=2.2 * N * lr)
+
+
+def _replay_mixups(monkeypatch, np_seed, n_steps, b4, b2):
+    """Pre-compute the exact np.random draws the reference's masked ICT
+    epoch makes per step — weak mixup (beta(1,1) + permutation(B/4),
+    main_origin.py:327), strong mixup (same shapes, :367), unlabeled mixup
+    (beta(2,2) + permutation(B/2), :398) — and substitute our ``mixup``
+    with a replayer that applies them with the reference's own float
+    semantics: weak/strong mixes in fp32 with the torch scalar casts
+    (lam→fp32, (1−lam)→fp32 separately), the unlabeled mix in float64
+    numpy then cast to fp32 (mixup_data's .cpu().numpy() round trip,
+    main_origin.py:132-148). Call-kind dispatch: the unlabeled call passes
+    TWO target tensors; within a step the first single-target call is the
+    weak mixup, the second the strong (the step's call order)."""
+    import bsed_tpu.train.steps as steps_mod
+
+    rs = np.random.RandomState(np_seed)
+    draws = []
+    for _ in range(n_steps):
+        d = {}
+        d["weak"] = (float(rs.beta(1.0, 1.0)), rs.permutation(b4))
+        d["strong"] = (float(rs.beta(1.0, 1.0)), rs.permutation(b4))
+        d["unsup"] = (float(rs.beta(2.0, 2.0)), rs.permutation(b2))
+        draws.append(d)
+    pos = {"i": -1, "sup": 0}
+
+    def fake(rng, x, *targets, alpha=1.0):
+        if len(targets) == 2:          # unlabeled: (x_u, teacher_s, teacher_w)
+            pos["i"] += 1
+            pos["sup"] = 0
+            lam, perm = draws[pos["i"]]["unsup"]
+            x64 = np.asarray(x, np.float64)
+            t64 = [np.asarray(t, np.float64) for t in targets]
+            mixed_x = jnp.asarray(
+                (lam * x64 + (1.0 - lam) * x64[perm]).astype(np.float32))
+            mixed = tuple(jnp.asarray(
+                (lam * t + (1.0 - lam) * t[perm]).astype(np.float32))
+                for t in t64)
+            return (mixed_x, *mixed, jnp.float32(lam))
+        kind = "weak" if pos["sup"] == 0 else "strong"
+        pos["sup"] += 1
+        lam, perm = draws[pos["i"]][kind]
+        la = jnp.float32(lam)
+        lb = jnp.float32(1.0 - lam)
+        perm = jnp.asarray(perm, jnp.int32)
+        mixed_x = la * x + lb * x[perm]
+        mixed = tuple(la * t + lb * t[perm] for t in targets)
+        return (mixed_x, *mixed, la)
+
+    monkeypatch.setattr(steps_mod, "mixup", fake)
+
+
+def test_origin_ict_epoch_matches_reference_train(mb_og, tmp_path,
+                                                  monkeypatch):
+    """The origin lineage's masked ICT epoch vs the REAL runnable anchor —
+    main_origin.py's ``train()`` (main.py's own masked branch dies on the
+    undefined ``target_weak`` at :380, and its maskless __main__ call
+    crashes under -ISP; main_origin defines it, :316): ONE combined
+    ¼weak+½unlabeled+¼strong batch through ONE student forward (no syn
+    stream), live dataset normalization applied before the ISP rolls,
+    shift/freq student forwards (:329-333), masked weak/strong BCE
+    (:320,361), SCT class terms on the masked slices (:364-365), the three
+    ICT mixups (weak :327, strong :367, unlabeled-vs-EMA :391-404), full-
+    batch MT consistencies, cost/2 self-shift consistency (:448), per-STEP
+    exp ramp, constant-lr Adam, and the PARAMS-ONLY EMA (:86-89 — teacher
+    BN stats evolve only through its own forwards) — pinned leaf-for-leaf.
+
+    ONE-step epoch at batch 24 (the hard-coded mask_unlabel=slice(6,18)
+    fixes the geometry, :313): the single main-Adam chain is pinned at
+    first-step resolution like the ADDA gate."""
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    mb = mb_og
+    N, B = 1, 24
+    B4, B2 = B // 4, B // 2
+    cfg = get_config("origin")
+    assert cfg.train.isp_flavor == "origin" and cfg.train.mixup
+    assert cfg.train.normalize and cfg.train.ema_scope == "params"
+    assert cfg.train.cost_ramp == "exp_step"
+    assert cfg.train.time_shift_max == 32
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, max_len_seconds=2.04,
+                                  noise_snr=None),
+        model=dataclasses.replace(cfg.model, dropout=0.0,
+                                  dropout_recurrent=0.0),
+        train=dataclasses.replace(
+            cfg.train,
+            max_learning_rate=float(mb.cfg.default_learning_rate),
+            adjust_lr=bool(mb.cfg.adjust_lr),
+            n_epoch_rampup=int(mb.cfg.n_epoch_rampup),
+            max_consistency_cost=float(mb.cfg.max_consistency_cost)))
+    assert not cfg.train.adjust_lr             # data/config.py:97
+
+    # fixture data + LIVE normalization stats (per-mel-bin mean/std of the
+    # log-mel, utils/scaler.py semantics — any stats pin the wiring)
+    rng = np.random.default_rng(23)
+    real_lin = rng.uniform(0.05, 4.0, (N * B, T_IN, N_MELS)).astype(
+        np.float32)
+    real_strong = (rng.random((N * B, T_POOL, N_CLASS)) > 0.92).astype(
+        np.float32)
+    logmel = _logmel(real_lin)
+    m = logmel.mean(axis=(0, 1)).astype(np.float32)
+    s = (logmel.std(axis=(0, 1)) + 0.3).astype(np.float32)
+
+    modules = build_modules(cfg, norm_stats=(m, s))
+    state = create_train_state(cfg, modules, jax.random.key(13))
+
+    crnn, predictor = _torch_models_from_state(
+        mb, cfg, state.params, state.batch_stats, tmp_path, "student")
+    crnn_ema, pred_ema = _torch_models_from_state(
+        mb, cfg, state.ema_params, state.ema_batch_stats, tmp_path,
+        "teacher")
+    for p in list(crnn_ema.parameters()) + list(pred_ema.parameters()):
+        p.detach_()
+    adam_kw = dict(lr=float(mb.cfg.default_learning_rate),
+                   betas=(0.9, 0.999))
+    optim = torch.optim.Adam(
+        filter(lambda p: p.requires_grad,
+               list(crnn.parameters()) + list(predictor.parameters())),
+        **adam_kw)
+    # optimizer_crnn.zero_grad() runs UNGUARDED (:281) — a real aux Adam is
+    # required; it never steps
+    optim_crnn = torch.optim.Adam(crnn.parameters(), **adam_kw)
+
+    # torch side consumes the ALREADY-NORMALIZED log-mel (the reference
+    # normalizes in the dataset transform; rolls/mixes act on the
+    # normalized batch) — identical fp32 arithmetic to our in-step path
+    norm = ((logmel - m) / s).astype(np.float32)
+    real_dl = torch.utils.data.DataLoader(
+        _FixtureSet(norm[:, None], real_strong), batch_size=B,
+        shuffle=False)
+
+    NP_SEED = 91
+    monkeypatch.setattr(mb.cfg, "batch_size", B)
+    # main_origin's mixup_data hard-codes .cuda() (:145-148) — identity on
+    # this CPU-only image (pure device placement, no numerics)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    random.seed(SEED)
+    np.random.seed(NP_SEED)
+    ref_loss = mb.train(
+        real_dl, crnn, optim, 0,
+        ema_model=crnn_ema, ema_predictor=pred_ema,
+        mask_weak=slice(0, B4), mask_strong=slice(3 * B // 4, B),
+        adjust_lr=mb.cfg.adjust_lr, predictor=predictor,
+        discriminator=None, optimizer_d=None, optimizer_crnn=optim_crnn,
+        ISP=True)
+
+    _replay_shifts(monkeypatch, N, time_max=32, n_batch=B)
+    _replay_mixups(monkeypatch, NP_SEED, N, B4, B2)
+    step_fn = make_train_step(modules, steps_per_epoch=N, jit=False)
+    epoch = jnp.asarray(0.0, jnp.float32)
+    metrics = None
+    for i in range(N):
+        sl = slice(i * B, (i + 1) * B)
+        batch = {
+            "real": jnp.asarray(real_lin[sl]),
+            "real_weak": jnp.asarray(real_strong[sl].max(axis=1)),
+            "real_strong": jnp.asarray(real_strong[sl]),
+        }
+        state, metrics = step_fn(state, batch, jax.random.key(9), epoch)
+
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 2e-5, \
+        f"last-step loss: ours {float(metrics['loss'])} ref {float(ref_loss)}"
+    lr = float(mb.cfg.default_learning_rate)
+    # noise threshold 1e-5: the ICT epoch sums ~10 full-weight loss terms,
+    # so the fp-cancellation residue on the ANALYTICALLY zero conv-bias
+    # gradients is proportionally larger (measured 1.15e-6 on block1 —
+    # just past the default 1e-6); same calibration as the ADDA gate's
+    # confusion chain
+    _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
+                          lr=lr, nb=2.2 * N * lr, noise_grad_thresh=1e-5)
+
+
+def test_pseudo_labeling_entropy_cdan_epoch_matches_reference(
+        mb_pl, tmp_path, monkeypatch):
+    """pseudo_labeling_main.py adaptation epoch: the entropy-conditioned
+    randomized CDAN domain loss computed from the MAIN forwards' WEAK
+    predictions + flattened (B, T·256) features (:332-335), added into the
+    combined loss with weight 1 (:524-525), ONE backward stepping the Adam
+    main optimizer AND the SGD(momentum .9, nesterov, wd 1e-4)
+    discriminator optimizer (:566-571, the HEAD's mixed-family wiring),
+    weak BCE on the labeled real HALF in both MT branches (:429-434),
+    sigmoid-epoch cost ramp, warm-start GRL λ stepping once per forward —
+    pinned leaf-for-leaf on student, teacher AND discriminator params.
+
+    The REAL DA/cdan.py loss module runs verbatim (softmax-detached g,
+    (R_f f)⊙(R_g g)/√d map with ITS torch-sampled R_f/R_g copied into our
+    rand_maps, w = 1+e^(−H(g)) normalized weighting). The DISCRIMINATOR is
+    a test-built torch MLP topology-matched to our FrameDiscriminatorGRL
+    (1024→1024→1): the reference's own construction is bit-rotted at HEAD
+    for both -level flags (Frame_Discriminator hard-codes Linear(256,·)
+    against the 8192-d map, :745-746 + CRNN_GRL.py:118; Clip_Discriminator
+    permutes a 2-D map tensor as 3-D, :747-748 + CRNN_GRL.py:42) — the
+    'weak cdan' input_dim=8192 kwarg (:671) records the evident intent of
+    an MLP over the randomized map."""
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    mb = mb_pl
+    data = _make_data()
+    cfg = get_config("pseudo_labeling")
+    assert cfg.da.mode == "cdan" and cfg.da.level == "frame"
+    assert cfg.da.entropy_conditioning and cfg.da.joint_backward
+    assert cfg.da.adv_weight == 1.0
+    assert cfg.train.optimizer == "adam" and cfg.da.aux_optimizer == "sgd"
+    assert cfg.train.real_weak_bce == "half"
+    assert cfg.train.cost_ramp == "sigmoid_epoch"
+    RAND_DIM = 256    # full randomized-map semantics at fixture scale (the
+    # reference's 8192 would make R_f a (T·256)×8192 block for nothing)
+    cfg = cfg.replace(
+        audio=dataclasses.replace(cfg.audio, max_len_seconds=2.04,
+                                  noise_snr=None),
+        model=dataclasses.replace(cfg.model, dropout=0.0,
+                                  dropout_recurrent=0.0),
+        da=dataclasses.replace(cfg.da, randomized_dim=RAND_DIM,
+                               disc_dropout=0.0),
+        train=dataclasses.replace(
+            cfg.train, stage="adaptation",
+            max_learning_rate=float(mb.cfg.default_learning_rate),
+            adjust_lr=bool(mb.cfg.adjust_lr),
+            max_consistency_cost=float(mb.cfg.max_consistency_cost)))
+    assert not cfg.train.adjust_lr            # data/config.py:97
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(11))
+
+    crnn, predictor = _torch_models_from_state(
+        mb, cfg, state.params, state.batch_stats, tmp_path, "student")
+    crnn_ema, pred_ema = _torch_models_from_state(
+        mb, cfg, state.ema_params, state.ema_batch_stats, tmp_path,
+        "teacher")
+    for p in list(crnn_ema.parameters()) + list(pred_ema.parameters()):
+        p.detach_()
+
+    class _TorchMLPDisc(torch.nn.Module):
+        """Topology-matched fixture for FrameDiscriminatorGRL(n_out=1,
+        apply_grl=False) — see docstring for why the reference's own
+        discriminator construction can't be used."""
+
+        def __init__(self, in_dim):
+            super().__init__()
+            self.dense_d_1 = torch.nn.Linear(in_dim, 1024)
+            self.dense_d_2 = torch.nn.Linear(1024, 1024)
+            self.dense_d_3 = torch.nn.Linear(1024, 1)
+
+        def forward(self, x):
+            x = torch.relu(self.dense_d_1(x))
+            x = torch.relu(self.dense_d_2(x))
+            return torch.sigmoid(self.dense_d_3(x))
+
+    tdisc = _TorchMLPDisc(RAND_DIM)
+    tdisc.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         tc.export_frame_discriminator(state.disc_params).items()},
+        strict=True)
+    tdisc.train()
+    domain_adv = mb.ConditionalDomainAdversarialLoss(
+        tdisc, entropy_conditioning=True, num_classes=N_CLASS,
+        features_dim=256 * T_POOL, randomized=True, randomized_dim=RAND_DIM)
+    # the REAL torch-sampled R_f/R_g become our rand_maps — the map itself
+    # is part of what this test pins
+    modules.rand_maps = (jnp.asarray(domain_adv.map.Rf.numpy()),
+                         jnp.asarray(domain_adv.map.Rg.numpy()))
+    adam_kw = dict(lr=float(mb.cfg.default_learning_rate),
+                   betas=(0.9, 0.999))
+    sgd_kw = dict(lr=float(mb.cfg.default_learning_rate), momentum=0.9,
+                  weight_decay=1e-4, nesterov=True)
+    optim = torch.optim.Adam(
+        filter(lambda p: p.requires_grad,
+               list(crnn.parameters()) + list(predictor.parameters())),
+        **adam_kw)
+    optim_d = torch.optim.SGD(tdisc.parameters(), **sgd_kw)
+
+    unl_dl, weak_dl, syn_dl = _loaders(data)
+    monkeypatch.setattr(mb.cfg, "batch_size", B_SYN)
+    random.seed(SEED)
+    ref_loss = mb.train_mt(
+        unl_dl, weak_dl, syn_dl, crnn, optim, 0,
+        ema_model=crnn_ema, ema_predictor=pred_ema,
+        mask_weak=None, mask_strong=None, adjust_lr=mb.cfg.adjust_lr,
+        predictor=predictor, discriminator=domain_adv, optimizer_d=optim_d,
+        optimizer_crnn=None, ISP=False)
+
+    step_fn = make_train_step(modules, steps_per_epoch=N_STEPS, jit=False)
+    epoch = jnp.asarray(0.0, jnp.float32)
+    metrics = None
+    for i in range(N_STEPS):
+        ssl = slice(i * B_SYN, (i + 1) * B_SYN)
+        hsl = slice(i * B_HALF, (i + 1) * B_HALF)
+        batch = {
+            "syn": jnp.asarray(data["syn"][ssl]),
+            "syn_strong": jnp.asarray(data["syn_strong"][ssl]),
+            "real": jnp.asarray(np.concatenate(
+                [data["weak"][hsl], data["unl"][hsl]], 0)),
+            "real_weak": jnp.asarray(np.concatenate(
+                [data["weak_strong"][hsl].max(axis=1),
+                 data["pl_weak"][hsl]], 0)),
+        }
+        state, metrics = step_fn(state, batch, jax.random.key(9), epoch)
+
+    # the reference's reported loss INCLUDES the domain term (:524-525) —
+    # ours reports the combined loss too (steps.py joint_da path)
+    assert abs(float(metrics["loss"]) - float(ref_loss)) < 2e-5, \
+        f"last-step loss: ours {float(metrics['loss'])} ref {float(ref_loss)}"
+    # two-sided Adam noise envelope for analytically-zero-grad leaves (conv
+    # biases feeding BN; measured 2.6·lr drift over the 2 steps) — same
+    # rationale as the sct_ada_weak test
+    lr = float(mb.cfg.default_learning_rate)
+    _assert_state_matches(cfg, state, crnn, predictor, crnn_ema, pred_ema,
+                          lr=lr, nb=2.2 * N_STEPS * lr)
+    # discriminator: SGD steps (update = lr·g — no Adam noise relief needed)
+    ref_disc_p = tc.convert_frame_discriminator(
         {k: v.detach().numpy() for k, v in tdisc.state_dict().items()})
     _assert_tree_close(state.disc_params, ref_disc_p,
                        "discriminator params", 5e-5)

@@ -35,7 +35,14 @@ def test_origin_ict_mixup_terms():
     cfg = small_cfg("origin")
     assert cfg.train.mixup and cfg.train.mean_teacher
     assert cfg.train.mixup_usup_alpha == 2.0
-    state, metrics = run_steps(cfg, n=1)
+    # the masked origin wiring trains on the COMBINED real batch and needs
+    # its strong targets (ThreeStreamLoader layout="origin")
+    rng = np.random.default_rng(5)
+    real_strong = jnp.asarray(
+        (rng.random((4, cfg.n_frames, cfg.nclass)) > 0.9).astype(
+            np.float32))
+    state, metrics = run_steps(cfg, n=1,
+                               batch_extra={"real_strong": real_strong})
     for key in ("mixup_strong_loss", "mixup_weak_class_loss",
                 "mixup_cons_strong_loss", "mixup_cons_weak_loss"):
         assert key in metrics, key
