@@ -193,12 +193,18 @@ class SyntheticDataSource:
     index. Stands in for the (unshipped) audio data in tests and bench."""
 
     def __init__(self, cfg: Config, n_items: int = 64, seed: int = 0,
-                 weak_only: bool = False, event_rate: float = 0.03):
+                 weak_only: bool = False, event_rate: float = 0.03,
+                 signal_boost: float = 2.0):
         self.cfg = cfg
         self.n_items = n_items
         self.seed = seed
         self.weak_only = weak_only
         self.event_rate = event_rate
+        # mel-energy bump planted on the event's class-specific bins —
+        # raise it (with event_rate) for fixtures that must be LEARNABLE
+        # within a few epochs (the event-F1 training gate), not just
+        # shape-faithful
+        self.signal_boost = signal_boost
 
     def __len__(self):
         return self.n_items
@@ -241,7 +247,8 @@ class SyntheticDataSource:
             a, b = min(a, tf - 1), min(max(b, a + 1), tf)
             strong[a:b, cls] = 1.0
             # boost the mel energy where the event is (weak signal)
-            features[a * ptr:b * ptr, (cls * 6) % f:(cls * 6) % f + 8] += 2.0
+            features[a * ptr:b * ptr,
+                     (cls * 6) % f:(cls * 6) % f + 6] += self.signal_boost
         if self.weak_only:
             return features, strong.max(axis=0), self.filename(index)
         return features, strong, self.filename(index)

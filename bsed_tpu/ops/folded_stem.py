@@ -309,6 +309,16 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
                  + jnp.tile(p["bn"]["bias"], fi).astype(h.dtype))
 
             if act in ("glu", "cg"):
+                # the (fi·co, fi·co) block-diagonal 128-lane matmul is the
+                # measured optimum (round-4 profile: 13.6 ms/step fwd+bwd,
+                # the largest single train-step term — and two attacks on
+                # it LOST: a per-fold-copy (…,fi,co)@(co,co) einsum hit
+                # 69 ms/step because a 16-wide contraction can't tile the
+                # MXU, the round-2 factored-DFT lesson again; and
+                # jax.checkpoint rematerialization hit 56 ms/step — XLA's
+                # fusion was already streaming lin/σ without materializing
+                # them, so remat only added the recompute pass). See
+                # docs/PERF.md round-4 ladder.
                 key = "GLU_0" if act == "glu" else "ContextGating_0"
                 w = _block_diag_jnp(
                     p[key]["linear"]["kernel"].astype(dtype), fi)

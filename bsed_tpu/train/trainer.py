@@ -319,9 +319,86 @@ class Trainer:
             stats = jax.tree.map(pull, stats)
         return params, stats
 
+    def _allgather_eval(self, merged: Dict, tagging, thresholds):
+        """Multi-host eval exchange: each process decoded only its strided
+        slice of the val batches; gather every process's decoded events
+        (rows encoded as [thr_idx, class_idx, onset, offset] + a parallel
+        filename list carried by index into the locally-reconstructable
+        name order) and sum the tagging counts, so every host ends with
+        the full prediction set at ~1/P of the forward+decode work."""
+        from jax.experimental import multihost_utils
+
+        thr_idx = {t: i for i, t in enumerate(thresholds)}
+        rows, name_keys = [], []
+        for t, df in merged.items():
+            for _, r in df.iterrows():
+                rows.append([thr_idx[t],
+                             self.cfg.bird_list.index(r["event_label"]),
+                             float(r["onset"]), float(r["offset"])])
+                name_keys.append(str(r["filename"]))
+        # names cross processes as indices into the union name table,
+        # broadcast as a sorted list every host derives identically from
+        # its own (full, unstrided) copy of the val dataset
+        local_names = sorted(set(name_keys))
+        # two-phase ragged allgather: counts first, then pad to the max
+        n_local = np.asarray([len(rows)], np.int32)
+        counts = np.asarray(multihost_utils.process_allgather(n_local)
+                            ).reshape(-1)
+        cap = int(counts.max()) if counts.size else 0
+        enc = np.full((max(cap, 1), 4), -1.0, np.float32)
+        if rows:
+            enc[:len(rows)] = np.asarray(rows, np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(enc))
+        # name tables are exchanged the same way (fixed-width bytes)
+        width = 96
+        nm = np.zeros((max(len(local_names), 1), width), np.uint8)
+        for i, s in enumerate(local_names):
+            b = s.encode()[:width]
+            nm[i, :len(b)] = np.frombuffer(b, np.uint8)
+        n_names = np.asarray([len(local_names)], np.int32)
+        name_counts = np.asarray(
+            multihost_utils.process_allgather(n_names)).reshape(-1)
+        pad_names = np.zeros(
+            (int(name_counts.max()) if name_counts.size else 1, width),
+            np.uint8)
+        pad_names[:nm.shape[0]] = nm
+        names_gathered = np.asarray(
+            multihost_utils.process_allgather(pad_names))
+        name_idx_local = {s: i for i, s in enumerate(local_names)}
+        row_name_idx = np.asarray([name_idx_local[k] for k in name_keys],
+                                  np.int32) if name_keys else \
+            np.zeros((0,), np.int32)
+        idx_enc = np.full((max(cap, 1),), -1, np.int32)
+        idx_enc[:len(row_name_idx)] = row_name_idx
+        idx_gathered = np.asarray(multihost_utils.process_allgather(idx_enc))
+
+        out = {t: [] for t in thresholds}
+        for p in range(gathered.shape[0]):
+            p_names = ["".join(chr(c) for c in r if c)
+                       for r in names_gathered[p][:name_counts[p]]]
+            for j in range(counts[p]):
+                ti, ci, on, off = gathered[p, j]
+                out[thresholds[int(ti)]].append(
+                    (p_names[int(idx_gathered[p, j])],
+                     self.cfg.bird_list[int(ci)], float(on), float(off)))
+        merged2 = {}
+        for t in thresholds:
+            merged2[t] = pd.DataFrame(
+                out[t], columns=["filename", "event_label", "onset",
+                                 "offset"])[["event_label", "onset",
+                                             "offset", "filename"]]
+        for attr in ("tp", "fp", "fn", "tn"):
+            summed = np.asarray(multihost_utils.process_allgather(
+                np.asarray(getattr(tagging, attr))[None])).sum(axis=0)
+            setattr(tagging, attr, summed)
+        return merged2, tagging
+
     def evaluate(self, loader: EvalLoader, thresholds=(0.5,),
                  learned_post: bool = False,
-                 predict_fn=None) -> Dict[str, float]:
+                 predict_fn=None, shard=None) -> Dict[str, float]:
+        """``shard``: None = auto (shard the val batches across processes
+        when multi-host + original-resolution GT available); False forces
+        the fully-replicated path (every host scores the full set)."""
         predict = predict_fn if predict_fn is not None else self.predict
         params, stats = self._eval_params()
         pred_dfs = []
@@ -332,11 +409,24 @@ class Trainer:
             else {}
         tagging = TaggingF1Accumulator(self.cfg.nclass)
         filenames_all = []
-        for mel, target, names, n_valid in loader:
+        # multi-host: shard the val BATCHES across processes (each host
+        # forwards + decodes only its stride, then the decoded events and
+        # tagging counts are all-gathered) — requires original-resolution
+        # GT so every host can score the full set without decoding the
+        # others' frame targets; falls back to fully-replicated eval
+        # otherwise (VERDICT r3 item 8)
+        n_proc = jax.process_count()
+        shard_eval = (n_proc > 1 and self.mesh is not None
+                      and true_events is not None)
+        if shard is False:
+            shard_eval = False
+        for bi, (mel, target, names, n_valid) in enumerate(loader):
+            if shard_eval and bi % n_proc != jax.process_index():
+                continue
             mel = jnp.asarray(mel)
             if self.mesh is not None and jax.process_count() == 1:
-                # rows are independent: pure DP (multi-host evals
-                # replicated instead — see _eval_params)
+                # rows are independent: pure DP (multi-host forwards run
+                # per-process on the strided batches instead)
                 mel = shard_batch(self.mesh, mel)
             strong, weak = predict(params, stats, mel,
                                    inference=self.cfg.model.use_fpn)
@@ -357,6 +447,9 @@ class Trainer:
             filenames_all.extend(names)
 
         merged = merge_prediction_dfs(pred_dfs)
+        if shard_eval:
+            merged, tagging = self._allgather_eval(merged, tagging,
+                                                   thresholds)
         pred_df = merged[thresholds[0]]
         gt_df = groundtruth_df_from_events(gt_events)
         results = {"weak_f1": tagging.macro_f1()}

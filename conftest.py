@@ -19,17 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# TRUE-fp32 convolutions for the parity suite: on AMX-BF16 hosts XLA:CPU
-# lowers DEFAULT-precision convs/matmuls through the bf16 fastpath —
-# measured conv error vs float64 is ~0.1 (bf16 input rounding at dB-scale
-# activations) vs 3.6e-6 under float32 precision, while torch-CPU stays
-# fp32-exact. The train-dynamics parity gates compare BatchNorm batch
-# statistics and gradients leaf-for-leaf against torch; a bf16 conv on one
-# side only is a ~1e-3-relative systematic error that BN's batch
-# normalization hides from posterior-level tests but not from the
-# stats/gradient-level ones (discovered round 4 via a block0 running-var
-# divergence). Production TPU runs are untouched (this file is test-only).
-jax.config.update("jax_default_matmul_precision", "float32")
+# NOTE on matmul precision: on AMX-BF16 hosts XLA:CPU lowers DEFAULT-
+# precision convs through the bf16 fastpath (measured conv error vs
+# float64 ~0.1 at dB-scale activations vs 3.6e-6 under float32, while
+# torch-CPU stays fp32-exact) — and the fp32 path is ~200× SLOWER on this
+# hardware (scalar vs AMX). The flag is therefore scoped to the one
+# module whose assertions need torch-exact convs
+# (tests/test_reference_train_parity.py, module fixture) instead of
+# being set suite-wide here; every other module's tolerances were
+# calibrated under the bf16 fastpath and stay green.
 
 # Persistent XLA compilation cache: the suite is compile-bound (dozens of
 # jitted programs), so cross-process caching cuts reruns from ~18 min to the

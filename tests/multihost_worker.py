@@ -71,12 +71,23 @@ def main() -> None:
         syn, weak, unlab, batch_size=4, seed=7, shuffle=False,
         process_index=jax.process_index(),
         process_count=jax.process_count())
-    val_loader = EvalLoader(val, batch_size=8)
+    # 2 val batches → one per process on the sharded-eval path
+    val_loader = EvalLoader(val, batch_size=4)
     trainer = Trainer(cfg, loader, val_loader=val_loader,
                       store_dir=store_dir, mesh="auto")
     assert trainer.mesh is not None and trainer.mesh.size == 8, trainer.mesh
     row = trainer.fit(n_epochs=1)
 
+    # VERDICT r3 item 8: sharded multi-host eval (each process forwards +
+    # decodes only its batch stride, decoded events + tagging counts
+    # all-gathered) must reproduce the fully-replicated eval's metrics
+    sharded = trainer.evaluate(val_loader)          # auto → sharded
+    replicated = trainer.evaluate(val_loader, shard=False)
+    for k in replicated:
+        assert abs(sharded[k] - replicated[k]) < 1e-9, (
+            k, sharded[k], replicated[k])
+
+    row.update({f"sharded_{k}": float(v) for k, v in sharded.items()})
     with open(out_path, "w") as f:
         json.dump({k: float(v) for k, v in row.items()}, f)
 

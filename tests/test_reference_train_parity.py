@@ -44,6 +44,22 @@ from bsed_tpu.utils import torch_compat as tc
 
 REF_SRC = "/root/reference/src"
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _true_fp32_matmuls():
+    """TRUE-fp32 convolutions for this module only: on AMX-BF16 hosts
+    XLA:CPU lowers default-precision convs through the bf16 fastpath
+    (~1e-3-relative conv error vs torch-CPU's exact fp32 — invisible to
+    posterior-level parity because BatchNorm re-normalizes it away, but
+    NOT to this module's BatchNorm-statistics and gradient-level gates;
+    discovered round 4 via a block0 running-var divergence). The fp32
+    path is ~200× slower on this CPU, so the flag is scoped here rather
+    than suite-wide (conftest note)."""
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "float32")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
+
 T_IN = 256            # input mel frames (models are shape-agnostic; ptr=4)
 T_POOL = T_IN // 4
 N_MELS = 128
