@@ -89,6 +89,15 @@ class ModelConfig:
     # Exact up to fp reassociation (tests/test_folded_stem.py), so opt-in
     # like fused_streams: OFF for bit-parity training, ON for throughput.
     folded_train_stem: bool = False
+    # Fuse each folded block's BN-affine → GLU/CG → dropout → pools into
+    # ONE Pallas kernel with a hand-written backward
+    # (ops/stem_epilogue.py) — the round-4 profile's dominant train-step
+    # terms collapse into a single HBM pass per direction. Applies only
+    # when folded_train_stem runs and the block is eligible (glu/cg
+    # activation, freq pooling, time pool ≤2, dropout on the k/256
+    # grid); same math as the unfused folded path up to fp reassociation
+    # and an independent dropout bit-stream (tests/test_stem_epilogue.py).
+    fused_stem_epilogue: bool = True
 
     @property
     def pooling_time_ratio(self) -> int:

@@ -229,7 +229,8 @@ def folded_train_eligible(model_cfg, n_mels: int, fold0: int = 8) -> bool:
 
 
 def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
-                           bn_eps: float = 1e-3, bn_momentum: float = 0.01):
+                           bn_eps: float = 1e-3, bn_momentum: float = 0.01,
+                           mesh=None):
     """(apply, n_folded) where
     ``apply(cnn_params, cnn_stats, x, train, dropout_rng) -> (h, new_stats)``
     runs the leading foldable blocks on the folded layout using the
@@ -244,7 +245,10 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
     momentum 0.01 ≡ torch 0.99). Dropout draws iid bernoulli masks on the
     folded tensor (statistically identical to the unfolded layout, not
     bit-identical)."""
-    plan: List[Tuple[int, int, int, int, int, int]] = []
+    from bsed_tpu.ops.dropout import _u8_threshold
+    from bsed_tpu.ops.stem_epilogue import make_fused_epilogue
+
+    plan: List[Tuple] = []
     f = fold0
     cin = 1
     for i, (cout, (pt, pf)) in enumerate(zip(model_cfg.nb_filters,
@@ -260,7 +264,47 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
         # backward); the 128-lane matmul fuses cleanly fwd AND bwd.
         pool_w = (jnp.asarray(_freq_pool_matrix(f, pf, cout))
                   if pf > 1 else None)
-        plan.append((i, cin, cout, pt, pf, f, pool_w))
+        # fused Pallas epilogue (ops/stem_epilogue.py): BN-affine + GLU +
+        # dropout + both pools in one kernel per direction, when eligible
+        eps = None
+        if (model_cfg.fused_stem_epilogue
+                and model_cfg.activation in ("glu", "cg")
+                and pool_w is not None and pt in (1, 2)
+                and (model_cfg.dropout == 0
+                     or _u8_threshold(1.0 - model_cfg.dropout))):
+            eps = (make_fused_epilogue(model_cfg.activation, pt,
+                                       model_cfg.dropout, pool_w),
+                   make_fused_epilogue(model_cfg.activation, pt,
+                                       0.0, pool_w))
+            if mesh is not None:
+                # Mosaic kernels are opaque to the GSPMD partitioner the
+                # mesh-sharded train step relies on, so on a mesh each
+                # epilogue runs under shard_map: batch rows sharded,
+                # parameters replicated — collective-free forward, and
+                # shard_map's transpose inserts the psums for the
+                # replicated parameters' gradients.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def _wrap(ep, with_bits, _mesh=mesh):
+                    data, rep = P("data"), P()
+                    if with_bits:
+                        f = shard_map(
+                            lambda h, iv, cv, w, b, bi:
+                                ep(h, iv, cv, w, b, bi),
+                            mesh=_mesh,
+                            in_specs=(data, rep, rep, rep, rep, data),
+                            out_specs=data, check_rep=False)
+                        return lambda h, iv, cv, w, b, bi: \
+                            f(h, iv, cv, w, b, bi)
+                    g = shard_map(
+                        lambda h, iv, cv, w, b: ep(h, iv, cv, w, b, None),
+                        mesh=_mesh, in_specs=(data, rep, rep, rep, rep),
+                        out_specs=data, check_rep=False)
+                    return lambda h, iv, cv, w, b, bi: g(h, iv, cv, w, b)
+                eps = (_wrap(eps[0], model_cfg.dropout > 0),
+                       _wrap(eps[1], False))
+        plan.append((i, cin, cout, pt, pf, f, pool_w, eps))
         f //= pf
         cin = cout
     n_folded = len(plan)
@@ -276,13 +320,58 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
         h = x.reshape(b, t, n_f // fold0, fold0).astype(dtype)
         new_stats = {}
         rng = dropout_rng
-        for (i, ci, co, pt, pf, fi, pool_w) in plan:
+        for (i, ci, co, pt, pf, fi, pool_w, eps) in plan:
             p = cnn_params[f"block{i}"]
             s = cnn_stats[f"block{i}"]
             k = _fold_kernel_jnp(p["conv"]["kernel"].astype(dtype), fi)
             h = jax.lax.conv_general_dilated(
                 h, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            if eps is not None:
+                # fused-epilogue path: bias stays OUT of the conv output
+                # (it folds into the kernel's per-lane affine `c`); batch
+                # stats come from the pre-bias activations (the mean just
+                # shifts by the bias, the variance is shift-invariant),
+                # so the running-stat numbers match the unfused path.
+                bias = p["conv"]["bias"]
+                if train:
+                    hf = h.astype(jnp.float32).reshape(*h.shape[:-1],
+                                                       fi, co)
+                    mean_h = hf.mean(axis=(0, 1, 2, 3))
+                    var = (jnp.square(hf).mean(axis=(0, 1, 2, 3))
+                           - mean_h ** 2)
+                    mean = mean_h + bias
+                    n = (hf.shape[0] * hf.shape[1] * hf.shape[2]
+                         * hf.shape[3])
+                    corr = n / (n - 1) if n > 1 else 1.0
+                    new_stats[f"block{i}"] = {"bn": {
+                        "mean": (bn_momentum * s["bn"]["mean"]
+                                 + (1.0 - bn_momentum) * mean),
+                        "var": (bn_momentum * s["bn"]["var"]
+                                + (1.0 - bn_momentum) * (var * corr))}}
+                else:
+                    mean, var = s["bn"]["mean"], s["bn"]["var"]
+                    new_stats[f"block{i}"] = {
+                        "bn": {"mean": mean, "var": var}}
+                inv = p["bn"]["scale"] * jax.lax.rsqrt(var + bn_eps)
+                cvec = (bias - mean) * inv + p["bn"]["bias"]
+                akey = ("GLU_0" if act == "glu" else "ContextGating_0")
+                w = _block_diag_jnp(
+                    p[akey]["linear"]["kernel"].astype(dtype), fi)
+                b_t = jnp.tile(p[akey]["linear"]["bias"], fi)
+                if train and rate > 0:
+                    rng, sub = jax.random.split(rng)
+                    bits = jax.random.bits(
+                        sub, (h.shape[0], h.shape[1] * h.shape[2],
+                              h.shape[3]), jnp.uint8)
+                    h = eps[0](h, jnp.tile(inv, fi), jnp.tile(cvec, fi),
+                               w, b_t, bits)
+                else:
+                    h = eps[1](h, jnp.tile(inv, fi), jnp.tile(cvec, fi),
+                               w, b_t, None)
+                continue
+
             h = h + jnp.tile(p["conv"]["bias"], fi).astype(h.dtype)
 
             if train:

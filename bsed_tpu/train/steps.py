@@ -281,12 +281,19 @@ class _FoldedRestCRNN(flax_nn.Module):
         return h
 
 
-def make_folded_encoder_fwd(cfg: Config):
+def make_folded_encoder_fwd(cfg: Config, mesh=None):
     """Train-mode encoder forward with the folded-frequency stem
     (ModelConfig.folded_train_stem): leading blocks on the folded layout
     (differentiable, grouped BN batch stats), remaining blocks + GRU via
     flax with the standard parameter names. Signature:
-    ``fwd(enc_params, enc_stats, x, key) -> (enc, new_enc_stats)``."""
+    ``fwd(enc_params, enc_stats, x, key) -> (enc, new_enc_stats)``.
+
+    ``mesh``: the data mesh the surrounding step is sharded over, if any —
+    the fused Pallas stem epilogue must run under ``shard_map`` there
+    (Mosaic kernels are opaque to the GSPMD partitioner), batch-sharded
+    with replicated parameters, so it stays collective-free per block
+    while the parameter-gradient psums are inserted by shard_map's
+    transpose."""
     from bsed_tpu.ops.folded_stem import (folded_train_eligible,
                                           make_folded_train_stem)
 
@@ -296,7 +303,8 @@ def make_folded_encoder_fwd(cfg: Config):
             "(needs non-FPN, kernel 3, glu/cg/relu/leakyrelu activation, "
             "n_mels divisible by 8, freq pooling dividing the fold)")
     stem_apply, n_folded = make_folded_train_stem(cfg.model,
-                                                  cfg.audio.n_mels)
+                                                  cfg.audio.n_mels,
+                                                  mesh=mesh)
     rest = _FoldedRestCRNN(cfg.model, start=n_folded)
 
     def blk_idx(name: str) -> int:
@@ -323,7 +331,7 @@ def make_folded_encoder_fwd(cfg: Config):
 def make_train_step(modules: TrainModules,
                     steps_per_epoch: Optional[int] = None,
                     grad_flow: bool = False,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True, mesh=None) -> Callable:
     """Build the jitted step. ``steps_per_epoch`` (= len(syn_loader)) is
     required when ``cfg.train.cost_ramp == "exp_step"``: that lineage's
     consistency cost ramps with exp_rampup(global_step,
@@ -347,7 +355,7 @@ def make_train_step(modules: TrainModules,
             "pass make_train_step(modules, steps_per_epoch=len(loader))")
 
     pred_has_stats = cfg.model.predictor_head == "crnn"
-    folded_fwd = (make_folded_encoder_fwd(cfg)
+    folded_fwd = (make_folded_encoder_fwd(cfg, mesh=mesh)
                   if cfg.model.folded_train_stem else None)
     # scmt/scmt_ada lineage: the real-stream shifted STUDENT forwards are
     # commented out of the reference (main_scmt.py:425-430,
@@ -366,6 +374,16 @@ def make_train_step(modules: TrainModules,
     # lineage's runnable ICT semantics, pinned by
     # tests/test_reference_train_parity.py::test_origin_ict…
     origin_masks = isp and t.isp_flavor == "origin"
+    if origin_masks and cfg.da.joint_backward and _effective_da_mode(cfg) \
+            in ("dann", "cdan", "cdan_frame"):
+        # the origin forward never binds the syn-stream predictions the
+        # joint-DA branch conditions on (its DA lineage is alternating
+        # ADDA, main.py:262-333); fail loudly instead of UnboundLocalError
+        # at trace time (ADVICE r4)
+        raise ValueError(
+            "isp_flavor='origin' is incompatible with da.joint_backward "
+            "GRL modes: the origin lineage uses alternating (ADDA-style) "
+            "updates; set da.joint_backward=False or da.mode='adda'")
 
     def model_fwd(params, stats, x, key, inference=False):
         k1, k2 = jax.random.split(key)
@@ -1170,7 +1188,7 @@ def make_epoch_runner(modules: TrainModules,
     from bsed_tpu.data.pipeline import gather_batch
 
     step_body = make_train_step(modules, steps_per_epoch=steps_per_epoch,
-                                grad_flow=grad_flow, jit=False)
+                                grad_flow=grad_flow, jit=False, mesh=mesh)
     shard = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

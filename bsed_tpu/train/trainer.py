@@ -112,7 +112,7 @@ class Trainer:
             self.state = replicate(self.mesh, self.state)
         self.train_step = make_train_step(
             self.modules, steps_per_epoch=len(train_loader),
-            grad_flow=grad_flow)
+            grad_flow=grad_flow, mesh=self.mesh)
         # scanned-epoch mode: when the dataset arrays are device-resident
         # and no multi-chip mesh is in play, the whole epoch runs as ONE
         # lax.scan dispatch (make_epoch_runner) instead of two dispatches
@@ -192,11 +192,13 @@ class Trainer:
         for k, v in tree.items():
             key = id(v) if cache else None
             if key is not None and key in self._rep_cache:
-                out[k] = self._rep_cache[key]
+                # cache entries pin the source array alive so a recycled
+                # id() can never alias a dead array's entry (ADVICE r4)
+                out[k] = self._rep_cache[key][1]
                 continue
             placed = jax.device_put(v, rep)
             if key is not None:
-                self._rep_cache[key] = placed
+                self._rep_cache[key] = (v, placed)
             out[k] = placed
         return out
 
@@ -349,11 +351,16 @@ class Trainer:
         if rows:
             enc[:len(rows)] = np.asarray(rows, np.float32)
         gathered = np.asarray(multihost_utils.process_allgather(enc))
-        # name tables are exchanged the same way (fixed-width bytes)
-        width = 96
+        # name tables are exchanged the same way (fixed-width bytes);
+        # width = allgathered max of the UTF-8-encoded lengths so long or
+        # non-ASCII filenames survive the round trip intact (ADVICE r4)
+        encoded = [s.encode("utf-8") for s in local_names]
+        local_w = np.asarray([max((len(b) for b in encoded), default=1)],
+                             np.int32)
+        width = int(np.asarray(multihost_utils.process_allgather(local_w)
+                               ).max())
         nm = np.zeros((max(len(local_names), 1), width), np.uint8)
-        for i, s in enumerate(local_names):
-            b = s.encode()[:width]
+        for i, b in enumerate(encoded):
             nm[i, :len(b)] = np.frombuffer(b, np.uint8)
         n_names = np.asarray([len(local_names)], np.int32)
         name_counts = np.asarray(
@@ -374,7 +381,7 @@ class Trainer:
 
         out = {t: [] for t in thresholds}
         for p in range(gathered.shape[0]):
-            p_names = ["".join(chr(c) for c in r if c)
+            p_names = [bytes(r[r != 0].tolist()).decode("utf-8")
                        for r in names_gathered[p][:name_counts[p]]]
             for j in range(counts[p]):
                 ti, ci, on, off = gathered[p, j]

@@ -125,6 +125,52 @@ def test_sharded_joint_da_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_fused_stem_epilogue_matches_single_device():
+    """The fused Pallas stem epilogue (ops/stem_epilogue.py) runs under
+    shard_map on a mesh (Mosaic kernels are opaque to GSPMD): the sharded
+    MT+ISP step with folded_train_stem + fused_stem_epilogue must match
+    the single-device step — metrics AND updated parameters (the kernel's
+    dW/db/dinv/dc accumulators cross the mesh through shard_map's psum
+    transpose)."""
+    import dataclasses
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from bsed_tpu.train.steps import (build_modules, create_train_state,
+                                      make_train_step)
+
+    cfg = get_config("baseline_mt_isp").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, folded_train_stem=True, fused_stem_epilogue=True,
+        dropout=0.0))
+    modules = build_modules(cfg)
+    batch = _mk_batch(cfg)
+
+    step1 = make_train_step(modules)
+    state1 = create_train_state(cfg, modules, jax.random.key(0))
+    s1, m1 = step1(state1, batch, jax.random.key(1), jnp.asarray(0.0))
+
+    mesh = make_mesh()
+    step8 = make_train_step(modules, mesh=mesh)
+    state8 = replicate(mesh, create_train_state(cfg, modules,
+                                                jax.random.key(0)))
+    s8, m8 = step8(state8, shard_batch(mesh, batch), jax.random.key(1),
+                   jnp.asarray(0.0))
+    for key in m1:
+        np.testing.assert_allclose(float(m1[key]), float(m8[key]),
+                                   rtol=2e-4, err_msg=key)
+    flat1 = jax.tree_util.tree_leaves_with_path(s1.params)
+    flat8 = dict(jax.tree_util.tree_leaves_with_path(s8.params))
+    for path, v1 in flat1:
+        v8 = flat8[path]
+        np.testing.assert_allclose(
+            np.asarray(v1, np.float32), np.asarray(v8, np.float32),
+            rtol=5e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
 def test_trainer_fit_mesh_matches_single_device(tmp_path):
     """VERDICT r2 item 1 done-criterion: a FULL Trainer.fit epoch (loader →
     prefetch → sharded step → eval → checkpoint) on the 8-device mesh must

@@ -171,6 +171,9 @@ def test_training_reaches_event_f1_on_plantable_signal():
                     "(CPU would take hours)")
     assert result["oracle_f1"] > 0.9, result
     assert result["best_f1"] >= 0.10, result
+
+
+def test_profile_dir_captures_trace(tmp_path):
     """profile_dir wires utils/profiling.trace into the first fit epoch:
     a jax.profiler trace directory must exist afterwards."""
     import os
