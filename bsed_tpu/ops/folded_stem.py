@@ -248,65 +248,79 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
     from bsed_tpu.ops.dropout import _u8_threshold
     from bsed_tpu.ops.stem_epilogue import make_fused_epilogue
 
+    def _ep_ok(pt):
+        return (model_cfg.fused_stem_epilogue
+                and model_cfg.activation in ("glu", "cg")
+                and pt in (1, 2)
+                and (model_cfg.dropout == 0
+                     or _u8_threshold(1.0 - model_cfg.dropout)))
+
+    def _make_eps(pt, pool_w, pg):
+        """(train_ep, eval_ep) — fused Pallas epilogue pair
+        (ops/stem_epilogue.py), shard_map-wrapped when a mesh is active
+        (Mosaic kernels are opaque to the GSPMD partitioner the
+        mesh-sharded train step relies on: batch rows sharded,
+        parameters replicated, psums inserted by shard_map's
+        transpose)."""
+        eps = (make_fused_epilogue(model_cfg.activation, pt,
+                                   model_cfg.dropout, pool_w, pg=pg),
+               make_fused_epilogue(model_cfg.activation, pt, 0.0,
+                                   pool_w, pg=pg))
+        if mesh is None:
+            return eps
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _wrap(ep, with_bits, _mesh=mesh):
+            data, rep = P("data"), P()
+            if with_bits:
+                f = shard_map(
+                    lambda h, iv, cv, w, b, bi: ep(h, iv, cv, w, b, bi),
+                    mesh=_mesh,
+                    in_specs=(data, rep, rep, rep, rep, data),
+                    out_specs=data, check_rep=False)
+                return lambda h, iv, cv, w, b, bi: f(h, iv, cv, w, b, bi)
+            g = shard_map(
+                lambda h, iv, cv, w, b: ep(h, iv, cv, w, b, None),
+                mesh=_mesh, in_specs=(data, rep, rep, rep, rep),
+                out_specs=data, check_rep=False)
+            return lambda h, iv, cv, w, b, bi: g(h, iv, cv, w, b)
+        return (_wrap(eps[0], model_cfg.dropout > 0),
+                _wrap(eps[1], False))
+
     plan: List[Tuple] = []
     f = fold0
     cin = 1
+    g_groups = n_mels // fold0
     for i, (cout, (pt, pf)) in enumerate(zip(model_cfg.nb_filters,
                                              model_cfg.pooling)):
-        if f == 1:
-            break
-        if f % pf != 0:
-            raise ValueError(f"block{i}: pool {pf} does not divide fold {f}")
-        # frequency pooling as the same constant averaging matmul the
-        # serving stem uses (``_freq_pool_matrix``): profiled on v5e, the
-        # reshape(..., fi//pf, pf, co).mean(axis) form cost ~10 ms/step of
-        # the MT+ISP train step (half of it pure layout copies in the
-        # backward); the 128-lane matmul fuses cleanly fwd AND bwd.
-        pool_w = (jnp.asarray(_freq_pool_matrix(f, pf, cout))
-                  if pf > 1 else None)
-        # fused Pallas epilogue (ops/stem_epilogue.py): BN-affine + GLU +
-        # dropout + both pools in one kernel per direction, when eligible
-        eps = None
-        if (model_cfg.fused_stem_epilogue
-                and model_cfg.activation in ("glu", "cg")
-                and pool_w is not None and pt in (1, 2)
-                and (model_cfg.dropout == 0
-                     or _u8_threshold(1.0 - model_cfg.dropout))):
-            eps = (make_fused_epilogue(model_cfg.activation, pt,
-                                       model_cfg.dropout, pool_w),
-                   make_fused_epilogue(model_cfg.activation, pt,
-                                       0.0, pool_w))
-            if mesh is not None:
-                # Mosaic kernels are opaque to the GSPMD partitioner the
-                # mesh-sharded train step relies on, so on a mesh each
-                # epilogue runs under shard_map: batch rows sharded,
-                # parameters replicated — collective-free forward, and
-                # shard_map's transpose inserts the psums for the
-                # replicated parameters' gradients.
-                from jax.experimental.shard_map import shard_map
-                from jax.sharding import PartitionSpec as P
-
-                def _wrap(ep, with_bits, _mesh=mesh):
-                    data, rep = P("data"), P()
-                    if with_bits:
-                        f = shard_map(
-                            lambda h, iv, cv, w, b, bi:
-                                ep(h, iv, cv, w, b, bi),
-                            mesh=_mesh,
-                            in_specs=(data, rep, rep, rep, rep, data),
-                            out_specs=data, check_rep=False)
-                        return lambda h, iv, cv, w, b, bi: \
-                            f(h, iv, cv, w, b, bi)
-                    g = shard_map(
-                        lambda h, iv, cv, w, b: ep(h, iv, cv, w, b, None),
-                        mesh=_mesh, in_specs=(data, rep, rep, rep, rep),
-                        out_specs=data, check_rep=False)
-                    return lambda h, iv, cv, w, b, bi: g(h, iv, cv, w, b)
-                eps = (_wrap(eps[0], model_cfg.dropout > 0),
-                       _wrap(eps[1], False))
-        plan.append((i, cin, cout, pt, pf, f, pool_w, eps))
-        f //= pf
-        cin = cout
+        if f > 1:
+            # folded block: frequency pooling shrinks the FOLD via the
+            # constant lane-averaging matmul (``_freq_pool_matrix``):
+            # profiled on v5e, the reshape(..., fi//pf, pf, co).mean form
+            # cost ~10 ms/step (half pure layout copies in the backward);
+            # the 128-lane matmul fuses cleanly fwd AND bwd.
+            if f % pf != 0:
+                raise ValueError(
+                    f"block{i}: pool {pf} does not divide fold {f}")
+            pool_w = (jnp.asarray(_freq_pool_matrix(f, pf, cout))
+                      if pf > 1 else None)
+            eps = (_make_eps(pt, pool_w, 1)
+                   if _ep_ok(pt) and pool_w is not None else None)
+            plan.append((i, cin, cout, pt, pf, f, pool_w, eps))
+            f //= pf
+            cin = cout
+            continue
+        # f == 1: the "folded" layout IS standard NHWC, and the SAME
+        # Pallas epilogue could keep fusing blocks 3+ (pg pools the
+        # group axis; built and equality-tested, tests/test_stem_epilogue
+        # ::test_group_pool_*). MEASURED AS A LOSER on v5e and therefore
+        # not wired: blocks 3-4 fused = 40.7 ms/step, block 3 only =
+        # 39.9, folded-only = 39.6 — at these 16x-smaller activations
+        # XLA already fuses the chain into the convs, and the extra
+        # pallas_call boundaries (dispatch + layout copies at entry/exit)
+        # cost more than the fusion saves (docs/PERF.md round 5).
+        break
     n_folded = len(plan)
     f_rem = f
     c_last = model_cfg.nb_filters[n_folded - 1]

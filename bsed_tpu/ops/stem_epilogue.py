@@ -65,7 +65,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(h_ref, inv_ref, c_ref, w_ref, b_ref, pool_ref,
-                bits_ref, out_ref, *, act: str, pt: int, keep_k: int):
+                bits_ref, out_ref, *, act: str, pt: int, pg: int,
+                keep_k: int):
     # Elementwise math runs in f32 REGISTERS regardless of the block
     # dtype (loads/stores keep the caller's dtype, so HBM traffic is
     # unchanged); only the matmul operands drop to the input dtype for
@@ -90,15 +91,22 @@ def _fwd_kernel(h_ref, inv_ref, c_ref, w_ref, b_ref, pool_ref,
         z = jnp.where(keep, z * (256.0 / keep_k), 0.0)
     if pt > 1:
         z = z.reshape(tt // pt, pt, g, l).sum(axis=1) * (1.0 / pt)
-    zp = jnp.dot(z.reshape((tt // pt) * g, l).astype(dt),
-                 pool_ref[...].astype(dt), preferred_element_type=f32)
-    out_ref[0] = zp.reshape(tt // pt, g, pool_ref.shape[1]).astype(dt)
+    if pg > 1:
+        # frequency pooling on the GROUP axis (unfolded blocks: G is the
+        # spatial frequency axis, lanes are channels)
+        z = z.reshape(tt // pt, g // pg, pg, l).sum(axis=2) * (1.0 / pg)
+    if pool_ref is None:
+        out_ref[0] = z.reshape(tt // pt, g // pg, l).astype(dt)
+    else:
+        zp = jnp.dot(z.reshape((tt // pt) * g, l).astype(dt),
+                     pool_ref[...].astype(dt), preferred_element_type=f32)
+        out_ref[0] = zp.reshape(tt // pt, g, pool_ref.shape[1]).astype(dt)
 
 
 def _bwd_kernel(g_ref, h_ref, inv_ref, c_ref, w_ref, b_ref, pool_ref,
                 bits_ref, dh_ref, dinv_ref, dc_ref, dw_ref, db_ref,
-                *, act: str, pt: int, keep_k: int, t_in: int,
-                tile_in: int):
+                *, act: str, pt: int, pg: int, keep_k: int,
+                t_in: int, tile_in: int):
     # All elementwise math in f32 registers (see _fwd_kernel note);
     # matmul operands drop to the block dtype for the MXU.
     f32 = jnp.float32
@@ -127,9 +135,17 @@ def _bwd_kernel(g_ref, h_ref, inv_ref, c_ref, w_ref, b_ref, pool_ref,
         < (t_in // pt)
     gz = jnp.where(valid, gz, 0.0)
 
-    # freq-pool backward: one matmul by pool_wᵀ
-    gf = jnp.dot(gz.reshape(tt_out * g, gz.shape[2]).astype(dt),
-                 pool_ref[...].T.astype(dt), preferred_element_type=f32)
+    # freq-pool backward: one matmul by pool_wᵀ (folded blocks), or
+    # broadcast over the pooled group pairs (unfolded blocks)
+    if pool_ref is not None:
+        gf = jnp.dot(gz.reshape(tt_out * g, gz.shape[2]).astype(dt),
+                     pool_ref[...].T.astype(dt), preferred_element_type=f32)
+    else:
+        gf = gz.reshape(tt_out, g // pg, gz.shape[2])
+        if pg > 1:
+            gf = gf.reshape(tt_out, g // pg, 1, l) * (1.0 / pg)
+            gf = jnp.broadcast_to(gf, (tt_out, g // pg, pg, l))
+        gf = gf.reshape(tt_out * g, l)
     # time-pool backward: broadcast g/pt over the pooled pairs
     if pt > 1:
         gf = gf.reshape(tt_out, 1, g, l) * (1.0 / pt)
@@ -184,22 +200,32 @@ def _pick_tile(pt: int, target: int = 256) -> int:
     return max(pt, (target // pt) * pt)
 
 
-def make_fused_epilogue(act: str, pt: int, rate: float, pool_w,
-                        interpret: Optional[bool] = None,
+def make_fused_epilogue(act: str, pt: int, rate: float, pool_w=None,
+                        pg: int = 1, interpret: Optional[bool] = None,
                         tile_target: int = 256):
-    """Build ``ep(h, inv, c, w, b, bits) -> out`` for one folded block.
+    """Build ``ep(h, inv, c, w, b, bits) -> out`` for one conv-block
+    epilogue (folded or standard layout).
 
     h: (B, T, G, L) conv output WITHOUT bias; inv/c: (L,) per-lane BN
     affine (conv bias folded into c); w/b: (L, L)/(L,) GLU or CG dense
-    (block-diagonal, built differentiably outside); bits: (B, T·G, L)
-    uint8 dropout bits or None (keep = bits < round(256·(1−rate))).
-    pool_w: (L, L2) constant frequency-averaging matrix (closed over,
-    non-differentiable). Output: (B, T//pt, G, L2).
+    (block-diagonal for folded blocks, the plain channel Dense for
+    standard-layout blocks); bits: (B, T·G, L) uint8 dropout bits or
+    None (keep = bits < round(256·(1−rate))).
+
+    Frequency pooling comes in exactly one of two forms:
+      * ``pool_w`` (L, L2): the folded blocks' constant lane-averaging
+        matrix (the fold shrinks) — requires ``pg == 1``;
+      * ``pg > 1``: standard-layout blocks pool the GROUP axis (G is the
+        spatial frequency axis there) — requires ``pool_w is None``.
+    Output: (B, T//pt, G//pg, L2) with L2 = pool_w.shape[1] or L.
     """
     if act not in ("glu", "cg"):
         raise ValueError(f"fused epilogue supports glu/cg, got {act}")
     if pt not in (1, 2):
         raise ValueError(f"fused epilogue supports time pool 1/2, got {pt}")
+    if pool_w is not None and pg != 1:
+        raise ValueError("pool_w (lane pooling) and pg (group pooling) "
+                         "are mutually exclusive")
     from bsed_tpu.ops.dropout import _u8_threshold
     if rate > 0:
         k = _u8_threshold(1.0 - rate)
@@ -208,95 +234,91 @@ def make_fused_epilogue(act: str, pt: int, rate: float, pool_w,
         keep_k = k
     else:
         keep_k = 0
-    pool_wt = jnp.asarray(pool_w, jnp.float32)
-    l_out = pool_wt.shape[1]
+    pool_wt = (None if pool_w is None
+               else jnp.asarray(pool_w, jnp.float32))
 
     def _interp():
         return (jax.default_backend() != "tpu" if interpret is None
                 else interpret)
 
-    def _run_fwd(h, inv, c, w, b, bits):
+    def _build(kern_fn, static, h, inv, c, w, b, bits, extra_outs=None,
+               g_in=None):
+        """Assemble (kernel, specs, args) with the optional pool/bits
+        inputs mapped onto the full kernel signature."""
         bsz, t, g, l = h.shape
+        l_out = l if pool_wt is None else pool_wt.shape[1]
         tile_in = _pick_tile(pt, tile_target)
         nt = -(-(t // pt) // (tile_in // pt))
-        kern = functools.partial(_fwd_kernel, act=act, pt=pt,
-                                 keep_k=keep_k)
         vec = pl.BlockSpec((1, l), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
-        specs = [
-            pl.BlockSpec((1, tile_in, g, l), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            vec, vec,
-            pl.BlockSpec((l, l), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            vec,
-            pl.BlockSpec((l, l_out), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = [h, inv.reshape(1, l), c.reshape(1, l), w, b.reshape(1, l),
-                pool_wt]
-        if keep_k > 0:
+        big = pl.BlockSpec((1, tile_in, g, l), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+        out_blk = pl.BlockSpec((1, tile_in // pt, g // pg, l_out),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        specs = [big, vec, vec,
+                 pl.BlockSpec((l, l), lambda i, j: (0, 0),
+                              memory_space=pltpu.VMEM), vec]
+        args = [h, inv.reshape(1, l), c.reshape(1, l), w,
+                b.reshape(1, l)]
+        have_pool = pool_wt is not None
+        if have_pool:
+            specs.append(pl.BlockSpec((l, l_out), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            args.append(pool_wt)
+        have_bits = keep_k > 0
+        if have_bits:
             specs.append(pl.BlockSpec((1, tile_in * g, l),
                                       lambda i, j: (i, j, 0),
                                       memory_space=pltpu.VMEM))
             args.append(bits)
-        else:
-            inner_f = kern
+        n_lead = static.get("_n_lead", 0)
+        inner = functools.partial(kern_fn, act=act, pt=pt, pg=pg,
+                                  keep_k=keep_k,
+                                  **{k: v for k, v in static.items()
+                                     if not k.startswith("_")})
 
-            def kern(h_ref, inv_ref, c_ref, w_ref, b_ref, pool_ref,  # noqa
-                     out_ref):
-                return inner_f(h_ref, inv_ref, c_ref, w_ref, b_ref,
-                               pool_ref, None, out_ref)
+        def kern(*refs):
+            # [lead refs (bwd: gz)] + 5 named + [pool] + [bits] + outputs
+            n_named = n_lead + 5 + (1 if have_pool else 0) \
+                + (1 if have_bits else 0)
+            ins, outs = refs[:n_named], refs[n_named:]
+            base = list(ins[:n_lead + 5])
+            k = n_lead + 5
+            if have_pool:
+                base.append(ins[k]); k += 1
+            else:
+                base.append(None)
+            if have_bits:
+                base.append(ins[k]); k += 1
+            else:
+                base.append(None)
+            return inner(*base, *outs)
+
+        return kern, specs, args, (bsz, t, g, l, l_out, tile_in, nt,
+                                   out_blk)
+
+    def _run_fwd(h, inv, c, w, b, bits):
+        kern, specs, args, (bsz, t, g, l, l_out, tile_in, nt, out_blk) = \
+            _build(_fwd_kernel, {}, h, inv, c, w, b, bits)
         return pl.pallas_call(
-            kern,
-            grid=(bsz, nt),
-            in_specs=specs,
-            out_specs=pl.BlockSpec((1, tile_in // pt, g, l_out),
-                                   lambda i, j: (i, j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bsz, t // pt, g, l_out),
-                                           h.dtype),
+            kern, grid=(bsz, nt), in_specs=specs, out_specs=out_blk,
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, t // pt, g // pg, l_out), h.dtype),
             interpret=_interp(),
         )(*args)
 
     def _run_bwd(gz, h, inv, c, w, b, bits):
         bsz, t, g, l = h.shape
         tile_in = _pick_tile(pt, tile_target)
-        nt = -(-(t // pt) // (tile_in // pt))
-        kern = functools.partial(_bwd_kernel, act=act, pt=pt,
-                                 keep_k=keep_k, t_in=t, tile_in=tile_in)
-        vec = pl.BlockSpec((1, l), lambda i, j: (0, 0),
-                           memory_space=pltpu.VMEM)
+        kern, specs, args, (bsz, t, g, l, l_out, tile_in, nt, out_blk) = \
+            _build(_bwd_kernel, {"t_in": t, "tile_in": tile_in,
+                                 "_n_lead": 1},
+                   h, inv, c, w, b, bits)
+        specs = [out_blk] + specs
+        args = [gz] + args
         acc = pl.BlockSpec((1, l), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
-        specs = [
-            pl.BlockSpec((1, tile_in // pt, g, l_out),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_in, g, l), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            vec, vec,
-            pl.BlockSpec((l, l), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            vec,
-            pl.BlockSpec((l, l_out), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = [gz, h, inv.reshape(1, l), c.reshape(1, l), w,
-                b.reshape(1, l), pool_wt]
-        if keep_k > 0:
-            specs.append(pl.BlockSpec((1, tile_in * g, l),
-                                      lambda i, j: (i, j, 0),
-                                      memory_space=pltpu.VMEM))
-            args.append(bits)
-        else:
-            inner_b = kern
-
-            def kern(g_ref, h_ref, inv_ref, c_ref, w_ref, b_ref,  # noqa
-                     pool_ref, dh_ref, dinv_ref, dc_ref, dw_ref, db_ref):
-                return inner_b(g_ref, h_ref, inv_ref, c_ref, w_ref, b_ref,
-                               pool_ref, None, dh_ref, dinv_ref, dc_ref,
-                               dw_ref, db_ref)
         dh, dinv, dc, dw, db = pl.pallas_call(
             kern,
             grid=(bsz, nt),

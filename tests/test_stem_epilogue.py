@@ -122,3 +122,52 @@ def test_odd_time_and_partial_tiles():
     gh = jax.grad(lambda x: jnp.sum(ep(x, inv, c, w, b, None)))(h)
     assert np.asarray(gh[:, -1]).max() == 0.0          # dropped remainder
     assert np.isfinite(np.asarray(gh)).all()
+
+
+def _ref_epilogue_pg(h, inv, c, w, b, bits, act, pt, pg, rate):
+    """Unfolded-block reference: group-axis frequency pooling, no lane
+    pool matrix (what ConvBlock does after the conv for blocks 3+)."""
+    dt = h.dtype
+    y = h * inv.astype(dt) + c.astype(dt)
+    lin = y @ w.astype(dt) + b.astype(dt)
+    z = lin * jax.nn.sigmoid(y) if act == "glu" \
+        else y * jax.nn.sigmoid(lin)
+    if rate > 0:
+        k = int(round((1.0 - rate) * 256))
+        keep = bits.reshape(h.shape) < jnp.uint8(k)
+        z = jnp.where(keep, z / jnp.asarray(1.0 - rate, dt),
+                      jnp.zeros((), dt))
+    return fast_avg_pool(z, (pt, pg))
+
+
+@pytest.mark.parametrize("pt,pg", [(1, 2), (2, 2), (1, 1)])
+def test_group_pool_matches_reference(pt, pg):
+    """The unfolded-block form: pg pools the group (spatial frequency)
+    axis, no lane-pool matrix — forward and gradients."""
+    h, inv, c, w, b, _, bits = _inputs(5)
+    ep = make_fused_epilogue("glu", pt, 0.0, None, pg=pg, tile_target=8)
+    got = ep(h, inv, c, w, b, None)
+    want = _ref_epilogue_pg(h, inv, c, w, b, None, "glu", pt, pg, 0.0)
+    assert got.shape == (B, T // pt, G // pg, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    cot = jax.random.normal(jax.random.PRNGKey(3), want.shape, jnp.float32)
+    gf = jax.grad(lambda *a: jnp.sum(ep(*a, None) * cot),
+                  argnums=(0, 1, 2, 3, 4))(h, inv, c, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(_ref_epilogue_pg(
+        *a, None, "glu", pt, pg, 0.0) * cot),
+        argnums=(0, 1, 2, 3, 4))(h, inv, c, w, b)
+    for name, a1, a2 in zip("h inv c w b".split(), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a2), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad {name} (pt={pt}, pg={pg})")
+
+
+def test_group_pool_dropout_matches_reference():
+    h, inv, c, w, b, _, bits = _inputs(6)
+    ep = make_fused_epilogue("glu", 1, 0.5, None, pg=2, tile_target=8)
+    got = ep(h, inv, c, w, b, bits)
+    want = _ref_epilogue_pg(h, inv, c, w, b, bits, "glu", 1, 2, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
