@@ -333,9 +333,12 @@ def main():
         # dense fallback must be visible in the record, not just stderr)
         # and what the train-bench configurations were
         "mel_front_end": mel_front_end,
-        "serving_config": "B=64 bf16-conv 'high'-mel folded-stem",
-        "train_config": "fused_streams+folded_stem+bf16+rbg b12+12",
-        "train_parity_config": "per-stream-BN+folded_stem+bf16+rbg b12+12",
+        "serving_config":
+            "B=64 bf16-conv 'high'-mel folded-stem+fused-epilogue",
+        "train_config":
+            "fused_streams+folded_stem+fused-epilogue+bf16+rbg b12+12",
+        "train_parity_config":
+            "per-stream-BN+folded_stem+fused-epilogue+bf16+rbg b12+12",
     }
     if flops_util is not None:
         # per-ALGORITHM utilization (see bench_tpu note): compare across

@@ -86,7 +86,8 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
                       activation: str = "glu",
                       n_mels: int = 128, fold0: int = 8,
                       bn_eps: float = 1e-3,
-                      dtype=None) -> Tuple[Callable, int]:
+                      dtype=None,
+                      fused_epilogue: bool = False) -> Tuple[Callable, int]:
     """Derive folded parameters for the leading blocks and return
     ``(stem(mel (B,T,F,1)) -> (B,T',F',C'), n_blocks_folded)``.
 
@@ -131,6 +132,15 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
             blk["act_b"] = jnp.asarray(np.tile(b, f))
         if pf > 1:
             blk["pool_w"] = jnp.asarray(_freq_pool_matrix(f, pf, cout))
+        if (fused_epilogue and activation in ("glu", "cg")
+                and pf > 1 and pt in (1, 2)):
+            # serving-side fused Pallas epilogue: the eval-mode BN is
+            # already folded into the conv, so the kernel's per-lane
+            # affine degenerates to inv=1, c=bias (ops/stem_epilogue.py)
+            from bsed_tpu.ops.stem_epilogue import make_fused_epilogue
+            blk["ep"] = make_fused_epilogue(activation, pt, 0.0,
+                                            blk["pool_w"])
+            blk["ones"] = jnp.ones_like(blk["bias"])
         blocks.append(blk)
         f //= pf
         cin = cout
@@ -151,6 +161,11 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
             x = jax.lax.conv_general_dilated(
                 x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if "ep" in blk:
+                x = blk["ep"](x, blk["ones"], blk["bias"],
+                              blk["act_w"].astype(x.dtype),
+                              blk["act_b"], None)
+                continue
             x = x + blk["bias"].astype(x.dtype)
             if activation == "glu":
                 lin = x @ blk["act_w"].astype(x.dtype) \
@@ -268,8 +283,8 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
                                    pool_w, pg=pg))
         if mesh is None:
             return eps
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        shard_map = jax.shard_map
 
         def _wrap(ep, with_bits, _mesh=mesh):
             data, rep = P("data"), P()
@@ -278,12 +293,12 @@ def make_folded_train_stem(model_cfg, n_mels: int, fold0: int = 8,
                     lambda h, iv, cv, w, b, bi: ep(h, iv, cv, w, b, bi),
                     mesh=_mesh,
                     in_specs=(data, rep, rep, rep, rep, data),
-                    out_specs=data, check_rep=False)
+                    out_specs=data, check_vma=False)
                 return lambda h, iv, cv, w, b, bi: f(h, iv, cv, w, b, bi)
             g = shard_map(
                 lambda h, iv, cv, w, b: ep(h, iv, cv, w, b, None),
                 mesh=_mesh, in_specs=(data, rep, rep, rep, rep),
-                out_specs=data, check_rep=False)
+                out_specs=data, check_vma=False)
             return lambda h, iv, cv, w, b, bi: g(h, iv, cv, w, b)
         return (_wrap(eps[0], model_cfg.dropout > 0),
                 _wrap(eps[1], False))

@@ -59,7 +59,8 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
                       stem_impl: str = "pallas",
                       use_folded_stem: Optional[bool] = None,
                       precision: str = "highest",
-                      mel_algorithm: Optional[str] = None) -> Callable:
+                      mel_algorithm: Optional[str] = None,
+                      use_fused_epilogue: Optional[bool] = None) -> Callable:
     """Returns jittable ``forward(audio) -> (strong, weak)`` on raw audio.
 
     ``use_fused_stem`` selects the algebraically-folded conv+BN+GLU+pool
@@ -128,10 +129,19 @@ def make_fast_forward(cfg: Config, modules: TrainModules, params: Dict,
 
         m = cfg.model
         dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
+        # Fused Pallas stem epilogue (ops/stem_epilogue.py) — the
+        # serving-side (eval, fwd-only) form of the train-step kernel:
+        # measured 3013 -> 3303 clips/s at B=64/'high' on v5e. Auto on
+        # TPU only (None): the numerics differ from the unfused folded
+        # path at bf16 resolution (f32 register math inside the kernel),
+        # and off-TPU the interpret-mode kernel would be pure overhead.
+        if use_fused_epilogue is None:
+            use_fused_epilogue = jax.default_backend() == "tpu"
         stem, n_folded = build_folded_stem(
             enc_params["cnn"], enc_stats["cnn"], m.nb_filters,
             tuple(tuple(p) for p in m.pooling), activation=m.activation,
-            n_mels=cfg.audio.n_mels, dtype=dtype)
+            n_mels=cfg.audio.n_mels, dtype=dtype,
+            fused_epilogue=use_fused_epilogue)
         rest = _RestCNN(cfg, start=n_folded, dtype=dtype)
         rest_params = {k: v for k, v in enc_params["cnn"].items()
                        if int(k.replace("block", "")) >= n_folded}

@@ -244,3 +244,37 @@ def test_folded_train_stem_full_step_matches(tmp_path):
                     jax.tree_util.tree_leaves(s_fold.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_fused_epilogue_serving_close_to_folded():
+    """make_fast_forward(use_fused_epilogue=True) — the serving-side
+    Pallas stem epilogue (auto-on on TPU) — must agree with the unfused
+    folded path to float tolerance (the kernel's f32 register math
+    reorders the bf16 chain, so bit-equality is not expected)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from bsed_tpu.config import AudioConfig, get_config
+    from bsed_tpu.serve import make_fast_forward
+    from bsed_tpu.train.steps import build_modules, create_train_state
+
+    cfg = get_config("baseline").replace(
+        audio=AudioConfig(sr=3200, hop_size=160, max_len_seconds=2.0))
+    modules = build_modules(cfg)
+    state = create_train_state(cfg, modules, jax.random.key(0))
+    audio = np.random.default_rng(3).standard_normal(
+        (2, cfg.audio.n_samples)).astype(np.float32)
+    base = make_fast_forward(cfg, modules, state.params,
+                             state.batch_stats,
+                             use_fused_epilogue=False)
+    fused = make_fast_forward(cfg, modules, state.params,
+                              state.batch_stats,
+                              use_fused_epilogue=True)
+    s0, w0 = jax.jit(base)(audio)
+    s1, w1 = jax.jit(fused)(audio)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                               rtol=2e-3, atol=2e-3)
