@@ -179,9 +179,27 @@ def bench_train(iters: int = 20, parity: bool = False) -> dict:
     keys = list(jax.random.split(
         jax.random.key(1, impl=cfg.train.prng_impl),
         windows * iters + 3))
-    for i in range(3):  # compile + pipeline warmup
-        state, m = step(state, batch, keys[i], epoch)
-    _fetch_scalar(m["loss"])
+    stem_mode = "fused-epilogue"
+    try:
+        for i in range(3):  # compile + pipeline warmup
+            state, m = step(state, batch, keys[i], epoch)
+        _fetch_scalar(m["loss"])
+    except Exception as e:
+        # Pallas stem-epilogue regression on a future stack must not kill
+        # the train bench — fall back to the unfused folded stem and SAY
+        # SO in the JSON (train_stem_epilogue key), like the serving mel
+        # fallback
+        print(f"# fused stem epilogue failed ({type(e).__name__}: {e}); "
+              "falling back to unfused folded stem", file=sys.stderr)
+        stem_mode = "fallback-unfused"
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, fused_stem_epilogue=False))
+        modules = build_modules(cfg)
+        state = create_train_state(cfg, modules, jax.random.key(0))
+        step = make_train_step(modules)
+        for i in range(3):
+            state, m = step(state, batch, keys[i], epoch)
+        _fetch_scalar(m["loss"])
     best = float("inf")
     k = 3
     for _ in range(windows):
@@ -195,7 +213,8 @@ def bench_train(iters: int = 20, parity: bool = False) -> dict:
         return {"train_parity_ms_per_step": round(best * 1e3, 2),
                 "train_parity_clips_per_s": round(2 * bs / best, 1)}
     return {"train_ms_per_step": round(best * 1e3, 2),
-            "train_clips_per_s": round(2 * bs / best, 1)}
+            "train_clips_per_s": round(2 * bs / best, 1),
+            "train_stem_epilogue": stem_mode}
 
 
 def bench_train_e2e() -> dict:
