@@ -201,20 +201,42 @@ def build_folded_stem(cnn_params: Dict, cnn_stats: Dict,
 # exact math up to fp reassociation (pinned by tests/test_folded_stem.py),
 # but not bit-identical to the unfolded path, so OFF for parity training.
 
-def _fold_kernel_jnp(kernel: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Differentiable fold_conv_kernel: (kt, 3, cin, cout) →
-    (kt, 3, f·cin, f·cout) by static scatter (gradients flow back to the
-    original kernel)."""
-    kt, kf, cin, cout = kernel.shape
-    out = jnp.zeros((kt, 3, f * cin, f * cout), kernel.dtype)
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _fold_gather_idx(f: int, cin: int, cout: int):
+    """Constant index map realizing fold_conv_kernel as ONE gather:
+    idx[g, fi, fo] selects from kernel[:, :, :, :].reshape(kt, -1) padded
+    with a trailing zero slot. 3·f² dynamic-update-slices per block per
+    step (and their 24-op slice+add transpose) showed up in the round-5
+    device profile's data-formatting bucket; a single constant-index
+    take lowers as one gather forward / one scatter-add backward."""
+    idx = np.full((3, f * cin, f * cout), 3 * cin * cout, np.int32)
     for r_out in range(f):
         for d in (-1, 0, 1):
             s = r_out + d
             g = (s // f) + 1
             r_in = s % f
-            out = out.at[:, g, r_in * cin:(r_in + 1) * cin,
-                         r_out * cout:(r_out + 1) * cout].set(kernel[:, d + 1])
-    return out
+            for ci in range(cin):
+                for co in range(cout):
+                    idx[g, r_in * cin + ci, r_out * cout + co] = \
+                        (d + 1) * cin * cout + ci * cout + co
+    # cache the NUMPY constant (a jnp array created inside a jit trace
+    # would leak the tracer); jnp.asarray at use-site constant-folds
+    return idx.reshape(-1)
+
+
+def _fold_kernel_jnp(kernel: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Differentiable fold_conv_kernel: (kt, 3, cin, cout) →
+    (kt, 3, f·cin, f·cout) as one constant-index gather (gradients flow
+    back to the original kernel through a single scatter-add)."""
+    kt, kf, cin, cout = kernel.shape
+    idx = jnp.asarray(_fold_gather_idx(f, cin, cout))
+    flat = jnp.concatenate(
+        [kernel.reshape(kt, 3 * cin * cout),
+         jnp.zeros((kt, 1), kernel.dtype)], axis=1)
+    return jnp.take(flat, idx, axis=1).reshape(kt, 3, f * cin, f * cout)
 
 
 def _block_diag_jnp(mat: jnp.ndarray, f: int) -> jnp.ndarray:
