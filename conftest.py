@@ -32,10 +32,23 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: the suite is compile-bound (dozens of
 # jitted programs), so cross-process caching cuts reruns from ~18 min to the
 # pure execution time. Keyed by HLO + backend, so CPU test caches never
-# collide with TPU ones.
+# collide with TPU ones. The directory name additionally carries a HOST
+# CPU-FEATURE fingerprint: XLA:CPU caches AOT machine code compiled with
+# the build host's feature set (+amx, +prefer-no-scatter, ...), and
+# loading such an entry on a host with different features SEGFAULTS
+# inside get_executable_and_time (observed killing a full-suite run when
+# reusing a cache seeded on a different VM shape; the cpu_aot_loader
+# "machine type ... doesn't match" warnings are the tell).
 try:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as _fh:
+            _flags = next((ln for ln in _fh if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:8]
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/bsed_jax_cache"))
+                      os.path.expanduser(f"~/.cache/bsed_jax_cache_{_fp}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
