@@ -69,6 +69,16 @@ def _apply_flags(cfg, args):
                                     isp=args.isp or train.isp)
     if args.stage:
         train = dataclasses.replace(train, stage=args.stage)
+    if getattr(args, "perf", False):
+        # throughput configuration (bench.py's train_config; docs/PERF.md):
+        # bf16 conv stack + train-mode folded-frequency stem + fused
+        # Pallas stem-epilogue kernels + fused student/teacher streams.
+        # Exact up to fp reassociation and pooled-BN batch stats — NOT the
+        # per-stream-BN parity-grade dynamics, hence opt-in.
+        model = dataclasses.replace(model, compute_dtype="bfloat16",
+                                    folded_train_stem=True,
+                                    fused_stem_epilogue=True)
+        train = dataclasses.replace(train, fused_streams=True)
     da = cfg.da
     if args.level:
         da = dataclasses.replace(da, level=args.level)
@@ -514,6 +524,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help=argparse.SUPPRESS)
 
     sp = sub.add_parser("train")
+    sp.add_argument("--perf", action="store_true",
+                    help="throughput config: bf16 + folded train stem + "
+                         "fused Pallas stem epilogue + fused streams "
+                         "(39 ms/MT+ISP step vs 58 parity-grade on v5e; "
+                         "pooled-BN semantics, see docs/PERF.md)")
     common(sp)
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--start-epoch", type=int, default=0)

@@ -235,3 +235,22 @@ def test_train_auto_resume_flag(data_root, tmp_path, capsys):
     assert "continuing from epoch 2" in out
     # the resumed epoch ran and produced its checkpoint
     assert os.path.isdir(os.path.join(store, "model", "epoch_2"))
+
+
+def test_train_perf_flag(tmp_path):
+    """`cli train --perf` applies the throughput configuration (bf16 +
+    folded train stem + fused Pallas stem epilogue + fused streams) and
+    trains end to end; the checkpoint meta must record the perf config so
+    `eval --store-dir` rebuilds the same model."""
+    import json
+
+    run_dir = str(tmp_path / "run_perf")
+    main(["train", "--tiny-audio", "--preset", "baseline_mt_isp", "-s", "8",
+          "--perf", "--epochs", "1", "--store-dir", run_dir])
+    assert os.path.exists(os.path.join(run_dir, "results.tsv"))
+    with open(os.path.join(run_dir, "model", "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["config"]["model"]["folded_train_stem"] is True
+    assert meta["config"]["model"]["fused_stem_epilogue"] is True
+    assert meta["config"]["model"]["compute_dtype"] == "bfloat16"
+    assert meta["config"]["train"]["fused_streams"] is True
