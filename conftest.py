@@ -39,18 +39,33 @@ jax.config.update("jax_platforms", "cpu")
 # inside get_executable_and_time (observed killing a full-suite run when
 # reusing a cache seeded on a different VM shape; the cpu_aot_loader
 # "machine type ... doesn't match" warnings are the tell).
-try:
-    import hashlib
+# DISABLED (round 5): two full-suite runs SEGFAULTED inside
+# jax.compilation_cache.get_executable_and_time deserializing a cached
+# XLA:CPU AOT executable — once with a cache seeded on a different VM
+# shape, once with a host-fingerprinted fresh directory (entry written
+# and re-read on the SAME host, with concurrent pytest processes sharing
+# the directory). The cpu_aot_loader "compile machine features ... don't
+# match the host" warnings fire on every load on this stack, and XLA:CPU
+# AOT reload is evidently unsafe for at least one of the suite's
+# programs. Correctness over rerun speed: no persistent cache. (The
+# fingerprinted-directory scheme below is kept for reference; re-enable
+# only after the upstream loader is fixed.)
+if os.environ.get("BSED_ENABLE_JAX_CACHE"):
     try:
-        with open("/proc/cpuinfo") as _fh:
-            _flags = next((ln for ln in _fh if ln.startswith("flags")), "")
-    except OSError:
-        _flags = ""
-    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:8]
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser(f"~/.cache/bsed_jax_cache_{_fp}"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as _fh:
+                _flags = next(
+                    (ln for ln in _fh if ln.startswith("flags")), "")
+        except OSError:
+            _flags = ""
+        _fp = hashlib.sha1(_flags.encode()).hexdigest()[:8]
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(f"~/.cache/bsed_jax_cache_{_fp}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
