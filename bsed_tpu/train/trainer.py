@@ -395,8 +395,11 @@ class Trainer:
                                  "offset"])[["event_label", "onset",
                                              "offset", "filename"]]
         for attr in ("tp", "fp", "fn", "tn"):
+            local = np.asarray(getattr(tagging, attr))
+            # allgather prepends a process axis → (P, 1, n); flatten it
+            # before summing so the counts keep their (n,) shape
             summed = np.asarray(multihost_utils.process_allgather(
-                np.asarray(getattr(tagging, attr))[None])).sum(axis=0)
+                local[None])).reshape(-1, local.shape[0]).sum(axis=0)
             setattr(tagging, attr, summed)
         return merged2, tagging
 

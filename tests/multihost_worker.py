@@ -80,7 +80,12 @@ def main() -> None:
 
     # VERDICT r3 item 8: sharded multi-host eval (each process forwards +
     # decodes only its batch stride, decoded events + tagging counts
-    # all-gathered) must reproduce the fully-replicated eval's metrics
+    # all-gathered) must reproduce the fully-replicated eval's metrics.
+    # Guard against this comparison going vacuous: the sharded path only
+    # engages when original-resolution GT exists, so pin that precondition
+    assert val_loader.groundtruth_events() is not None, \
+        "sharded-eval precondition lost: evaluate() would silently " \
+        "fall back to replicated eval and the equality below is vacuous"
     sharded = trainer.evaluate(val_loader)          # auto → sharded
     replicated = trainer.evaluate(val_loader, shard=False)
     for k in replicated:

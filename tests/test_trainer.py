@@ -309,3 +309,42 @@ def test_scanned_epoch_matches_loop_path(tmp_path):
     for a, b in zip(p_loop, p_scan):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_allgather_eval_roundtrips_unicode_and_long_names(tmp_path):
+    """Single-process invariant of the multi-host eval exchange
+    (trainer._allgather_eval, VERDICT r3 item 8): with P=1 the gather must
+    return EXACTLY its input events and tagging counts. Filenames include
+    non-ASCII UTF-8 and a name far beyond any fixed byte width — the
+    exchange sizes its byte table by the allgathered max of the encoded
+    lengths (ADVICE r4), so nothing may be truncated or mis-decoded."""
+    import pandas as pd
+
+    from bsed_tpu.eval.tagging import TaggingF1Accumulator
+
+    trainer = make_trainer(tmp_path, n_items=8, batch=4)
+    birds = trainer.cfg.bird_list
+    long_name = "rec_" + "x" * 150 + ".wav"          # 158 bytes
+    uni_name = "鳥の声_forêt_ñ.wav"                   # multi-byte UTF-8
+    cols = ["event_label", "onset", "offset", "filename"]
+    thresholds = (0.4, 0.5, 0.7)
+    merged = {
+        0.4: pd.DataFrame([(birds[0], 0.0, 1.0, uni_name),
+                           (birds[3], 2.5, 3.25, long_name)], columns=cols),
+        0.5: pd.DataFrame([(birds[1], 0.5, 0.75, "plain.wav")], columns=cols),
+        0.7: pd.DataFrame([], columns=cols),         # empty threshold
+    }
+    tagging = TaggingF1Accumulator(trainer.cfg.nclass)
+    tagging.tp[:] = 3
+    tagging.fp[:] = 1
+    tagging.fn[:] = 2
+    tagging.tn[:] = 4
+    out, tag2 = trainer._allgather_eval(
+        {t: merged[t].copy() for t in thresholds}, tagging, thresholds)
+    for t in thresholds:
+        got = sorted(map(tuple, out[t][cols].itertuples(index=False)))
+        want = sorted(map(tuple, merged[t].itertuples(index=False)))
+        assert got == want, (t, got, want)
+    for attr, v in (("tp", 3), ("fp", 1), ("fn", 2), ("tn", 4)):
+        np.testing.assert_array_equal(getattr(tag2, attr),
+                                      np.full(trainer.cfg.nclass, v))
